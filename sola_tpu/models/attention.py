@@ -1,0 +1,83 @@
+"""Multi-head attention for the selection model.
+
+Semantics of tools/attention.py:7-74: four Dense projections, 8 heads,
+softmax(QK^T / sqrt(head_dim)) V, train-only dropout 0.1 on the attention
+probabilities (torch SDPA's dropout placement), output projection. Extended
+with an optional key-validity mask for padded axes.
+
+Shapes here are small (n_obj<=~128, t/8<=~64, words<=~96), so a single fused
+XLA dot chain is already MXU-friendly; the module optionally routes through
+the Pallas fused kernel (sola_tpu.ops.flash_attention) for the large-batch
+shapes produced by cross-(video,expression) batching.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+NEG_INF = -1e30
+
+
+def torch_linear_init(key, shape, dtype=jnp.float32):
+    """torch nn.Linear default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    fan_in = shape[0]
+    return jax.random.uniform(key, shape, dtype, minval=-1.0,
+                              maxval=1.0) / jnp.sqrt(fan_in)
+
+
+class MultiHeadAttention(nn.Module):
+    embed_dim: int
+    num_heads: int = 8
+    dropout_p: float = 0.1
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        q: jax.Array,
+        k: jax.Array,
+        v: jax.Array,
+        key_mask: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        """q: (B, Lq, D); k, v: (B, Lk, D); key_mask: (B, Lk) bool or None."""
+        d = self.embed_dim
+        h = self.num_heads
+        hd = d // h
+
+        def dense(name):
+            return nn.Dense(d, kernel_init=torch_linear_init,
+                            bias_init=torch_linear_init, name=name)
+
+        qp = dense("q_proj")(q)
+        kp = dense("k_proj")(k)
+        vp = dense("v_proj")(v)
+
+        b, lq, _ = qp.shape
+        lk = kp.shape[1]
+        qh = qp.reshape(b, lq, h, hd).transpose(0, 2, 1, 3)
+        kh = kp.reshape(b, lk, h, hd).transpose(0, 2, 1, 3)
+        vh = vp.reshape(b, lk, h, hd).transpose(0, 2, 1, 3)
+
+        if self.use_pallas and key_mask is None and deterministic:
+            from sola_tpu.ops.flash_attention import fused_attention
+            out = fused_attention(qh, kh, vh)
+        else:
+            scale = 1.0 / jnp.sqrt(jnp.asarray(hd, qh.dtype))
+            logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                                preferred_element_type=jnp.float32) * scale
+            if key_mask is not None:
+                logits = jnp.where(key_mask[:, None, None, :], logits, NEG_INF)
+            probs = jax.nn.softmax(logits, axis=-1).astype(qh.dtype)
+            if not deterministic and self.dropout_p > 0.0:
+                probs = nn.Dropout(rate=self.dropout_p)(
+                    probs, deterministic=False)
+            out = jnp.einsum("bhqk,bhkd->bhqd", probs, vh,
+                             preferred_element_type=jnp.float32).astype(
+                                 qh.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(b, lq, d)
+        return dense("out_proj")(out)
