@@ -194,6 +194,7 @@ class SelectionModel(nn.Module):
         self.align_layers = [
             AlignmentLayer(cfg, name=f"align_{i}") for i in range(cfg.n_layers)
         ]
+        self.conv_dropout = nn.Dropout(rate=cfg.dropout_p)
         # Fixed random-Fourier buffer; a non-trainable variable so optimizers
         # skip it, mirroring the torch registered buffer (module/module.py:104).
         self.pe_gaussian = self.variable(
@@ -239,7 +240,7 @@ class SelectionModel(nn.Module):
                 x = self.conv_norms[i](x, mask)
                 x = leaky_relu(x)
                 if not deterministic and cfg.dropout_p > 0:
-                    x = nn.Dropout(rate=cfg.dropout_p)(x, deterministic=False)
+                    x = self.conv_dropout(x, deterministic=False)
         t_out = x.shape[1]
         x = x.reshape(b, n, t_out, cfg.lang_token_dim)
         out_mask = None

@@ -1,0 +1,234 @@
+"""Training loop: jitted steps + host epoch orchestration.
+
+Reproduces the reference training recipe (train.py:23-246): frozen text
+encoder, labels = (metric > positive_threshold), weighted BCE + 0.3x
+alignment loss, AdamW with global-norm clip at 1.0, per-epoch validation with
+acc/P/R/F1 confusion counts, ``log.txt`` epoch lines in the same format,
+ReduceLROnPlateau on the validation loss, a checkpoint every epoch.
+
+TPU design: one jit program per (n_bucket, t_bucket) shape; batches hold many
+(video, expression) pairs (mask-padded); the text encoder runs as its own jit
+program feeding lang/pos tokens; metrics come back as device scalars fetched
+once per step.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sola_tpu.config import finalize_train_configs
+from sola_tpu.data.dataset import get_loader_dict
+from sola_tpu.models.selection import SelectionConfig, SelectionModel
+from sola_tpu.models.text import build_text_encoder
+from sola_tpu.train import loss as loss_lib
+from sola_tpu.train import state as state_lib
+from sola_tpu.train.schedule import ReduceLROnPlateau
+
+
+def make_train_step(model: SelectionModel, optimizer, train_cfg: dict):
+    """Returns jitted train_step(state, batch, rng) -> (state, metrics)."""
+    positive_weight = float(train_cfg["positive_weight"])
+    alignment_weight = float(train_cfg["alignment_weight"])
+    temperature = float(train_cfg["temperature"])
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: state_lib.TrainState, batch: dict, rng: jax.Array):
+        def loss_fn(params):
+            score_logits, score_tokens = model.apply(
+                {"params": params, "buffers": state.buffers},
+                batch["object_tokens"], batch["lang_tokens"],
+                track_mask=batch["track_mask"],
+                frame_lengths=batch["frame_lengths"],
+                lang_mask=batch["lang_mask"],
+                deterministic=False,
+                rngs={"dropout": rng})
+            neg_tokens = jnp.broadcast_to(
+                params["negative_token"][None],
+                (score_tokens.shape[0],) + params["negative_token"].shape)
+            loss, parts = loss_lib.total_loss(
+                score_logits, score_tokens, batch["labels"],
+                batch["pos_tokens"], neg_tokens,
+                temperature=temperature, positive_weight=positive_weight,
+                alignment_weight=alignment_weight,
+                track_mask=batch["track_mask"])
+            return loss, parts
+
+        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        metrics = dict(parts)
+        metrics.update(state_lib.grad_norm_dict(grads))
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, state.params,
+                                        updates)
+        new_state = state.replace(params=params, opt_state=opt_state,
+                                  step=state.step + 1)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model: SelectionModel, train_cfg: dict,
+                   pred_threshold: float):
+    """Returns jitted eval_step(params, buffers, batch) -> metrics dict.
+
+    Loss parts follow the train-time definition (BCE on logits). The
+    reference evaluator instead feeds sigmoided scores into BCE-with-logits
+    (evaluator.py:101-111) — an inconsistency noted in SURVEY.md §2.5 that we
+    deliberately normalize; selection decisions and J&F are unaffected.
+    """
+    positive_weight = float(train_cfg["positive_weight"])
+    alignment_weight = float(train_cfg["alignment_weight"])
+    temperature = float(train_cfg["temperature"])
+
+    @jax.jit
+    def eval_step(params, buffers, batch: dict):
+        score_logits, score_tokens = model.apply(
+            {"params": params, "buffers": buffers},
+            batch["object_tokens"], batch["lang_tokens"],
+            track_mask=batch["track_mask"],
+            frame_lengths=batch["frame_lengths"],
+            lang_mask=batch["lang_mask"])
+        neg_tokens = jnp.broadcast_to(
+            params["negative_token"][None],
+            (score_tokens.shape[0],) + params["negative_token"].shape)
+        labels = batch.get("labels")
+        out = {}
+        if labels is not None:
+            _, parts = loss_lib.total_loss(
+                score_logits, score_tokens, labels, batch["pos_tokens"],
+                neg_tokens, temperature=temperature,
+                positive_weight=positive_weight,
+                alignment_weight=alignment_weight,
+                track_mask=batch["track_mask"])
+            out.update(parts)
+        scores = jax.nn.sigmoid(score_logits)
+        preds = (scores > pred_threshold).astype(jnp.float32)
+        out["pred_score"] = scores
+        out["pred"] = preds
+        if labels is not None:
+            m = batch["track_mask"]
+            out["tp"] = jnp.sum((preds == 1) & (labels == 1) & m)
+            out["fp"] = jnp.sum((preds == 1) & (labels == 0) & m)
+            out["fn"] = jnp.sum((preds == 0) & (labels == 1) & m)
+            out["tn"] = jnp.sum((preds == 0) & (labels == 0) & m)
+        return out
+
+    return eval_step
+
+
+def prepare_batch(batch: dict, text_encoder, train_cfg: Optional[dict] = None):
+    """Attach language tensors (and thresholded labels) to a collated batch."""
+    lang_tokens, lang_mask, pos_tokens = text_encoder.encode_batch(
+        batch["expression"])
+    out = {
+        "object_tokens": jnp.asarray(batch["object_tokens"]),
+        "track_mask": jnp.asarray(batch["track_mask"]),
+        "frame_lengths": jnp.asarray(batch["frame_lengths"]),
+        "lang_tokens": lang_tokens,
+        "lang_mask": lang_mask,
+        "pos_tokens": pos_tokens,
+    }
+    if batch.get("labels") is not None and train_cfg is not None:
+        metric = train_cfg["positive_metric"]
+        thresh = train_cfg["positive_threshold"]
+        out["labels"] = jnp.asarray(
+            (batch["labels"][metric] > thresh).astype(np.float32))
+    return out
+
+
+def train(configs: dict, max_steps_per_epoch: Optional[int] = None,
+          text_encoder=None, log_fn=print) -> state_lib.TrainState:
+    """Full training run (train.py:23-246)."""
+    configs = finalize_train_configs(configs)
+    out_dir = configs["results"]["output_dir"]
+    train_cfg = configs["train"]
+    cfg = SelectionConfig.from_dict(configs["model"])
+    model = SelectionModel(cfg)
+    text_encoder = text_encoder or build_text_encoder(configs["model"])
+
+    optimizer = state_lib.make_optimizer(
+        lr=float(train_cfg["lr"]),
+        grad_clip_norm=float(train_cfg.get("grad_clip_norm", 0.0)))
+    tstate = state_lib.create_train_state(cfg, optimizer)
+    schedule = ReduceLROnPlateau(
+        lr=float(train_cfg["lr"]),
+        factor=float(train_cfg.get("lr_factor", 0.5)),
+        patience=int(train_cfg.get("lr_patience", 5)))
+
+    loader_dict = get_loader_dict(configs["dataset"])
+    train_step = make_train_step(model, optimizer, train_cfg)
+    eval_step = make_eval_step(model, train_cfg,
+                               float(train_cfg.get("pred_threshold", 0.5)))
+    rng = jax.random.PRNGKey(42)
+
+    for epoch in range(int(train_cfg["n_epochs"])):
+        t0 = time.time()
+        train_losses = {"total": [], "bce": [], "alignment": []}
+        for step_idx, raw in enumerate(loader_dict["train"]):
+            if max_steps_per_epoch and step_idx >= max_steps_per_epoch:
+                break
+            rng, step_rng = jax.random.split(rng)
+            batch = prepare_batch(raw, text_encoder, train_cfg)
+            tstate, metrics = train_step(tstate, batch, step_rng)
+            for k in train_losses:
+                train_losses[k].append(float(metrics[k]))
+
+        # validation pass (train.py:147-232)
+        ev = {"total": [], "bce": [], "alignment": [],
+              "tp": 0, "fp": 0, "fn": 0, "tn": 0}
+        for step_idx, raw in enumerate(loader_dict["valid"]):
+            if max_steps_per_epoch and step_idx >= max_steps_per_epoch:
+                break
+            batch = prepare_batch(raw, text_encoder, train_cfg)
+            metrics = eval_step(tstate.params, tstate.buffers, batch)
+            for k in ("total", "bce", "alignment"):
+                ev[k].append(float(metrics[k]))
+            for k in ("tp", "fp", "fn", "tn"):
+                ev[k] += int(metrics[k])
+
+        denom = ev["tp"] + ev["tn"] + ev["fp"] + ev["fn"]
+        acc = (ev["tp"] + ev["tn"]) / max(denom, 1)
+        precision = ev["tp"] / (ev["tp"] + ev["fp"] + 1e-6)
+        recall = ev["tp"] / (ev["tp"] + ev["fn"] + 1e-6)
+        f1 = 2 * precision * recall / (precision + recall + 1e-6)
+        valid_loss = float(np.mean(ev["total"])) if ev["total"] else 0.0
+
+        # log.txt epoch block (train.py:235-240 format)
+        with open(os.path.join(out_dir, "log.txt"), "a") as f:
+            e = epoch + 1
+            f.write(f"EPOCH {e:03d}\n")
+            f.write(
+                f"TRAIN EPOCH {e:03d} | LOSS: {np.mean(train_losses['total']):.4f} "
+                f"({np.std(train_losses['total']):.4f}) | "
+                f"BCE: {np.mean(train_losses['bce']):.4f} | "
+                f"ALIGNMENT: {np.mean(train_losses['alignment']):.4f}\n")
+            f.write(
+                f"VALID EPOCH {e:03d} | LOSS: {valid_loss:.4f} "
+                f"({np.std(ev['total']) if ev['total'] else 0.0:.4f}) | "
+                f"BCE: {np.mean(ev['bce']) if ev['bce'] else 0.0:.4f} | "
+                f"ALIGNMENT: {np.mean(ev['alignment']) if ev['alignment'] else 0.0:.4f}\n")
+            f.write(
+                f"VALID EPOCH {e:03d} | ACC: {acc:.4f} | F1: {f1:.4f} | "
+                f"PRECISION: {precision:.4f} | RECALL: {recall:.4f}\n")
+            f.write(
+                f"VALID EPOCH {e:03d} | TP: {ev['tp']} | FP: {ev['fp']} | "
+                f"FN: {ev['fn']} | TN: {ev['tn']}\n")
+
+        new_lr = schedule.step(valid_loss)
+        tstate = tstate.replace(
+            opt_state=state_lib.set_learning_rate(tstate.opt_state, new_lr))
+
+        state_lib.save_checkpoint(out_dir, epoch + 1, tstate,
+                                  schedule.state_dict())
+        log_fn(f"epoch {epoch + 1} done in {time.time() - t0:.1f}s | "
+               f"train loss {np.mean(train_losses['total']):.4f} | "
+               f"valid loss {valid_loss:.4f} | lr {new_lr:.2e}")
+    return tstate

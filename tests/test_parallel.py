@@ -1,0 +1,72 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8, (
+        "conftest must force an 8-device CPU platform")
+
+
+def test_mesh_construction():
+    from sola_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh()
+    assert mesh.axis_names == ("data", "model")
+    assert mesh.devices.shape == (8, 1)
+    mesh42 = make_mesh(n_data=4, n_model=2)
+    assert mesh42.devices.shape == (4, 2)
+
+
+def test_dryrun_multichip_executes():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
+
+
+def test_entry_compiles_small():
+    """entry() is the full-size model; here just check the same path compiles
+    at a reduced size via dryrun (full-size compile is the driver's job)."""
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    lowered = jax.jit(fn).lower(*args)
+    assert lowered is not None  # traced + lowered without executing
+
+
+def test_sharded_eval_matches_single_device(rng):
+    """Data-parallel eval step over the mesh must equal single-device output."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sola_tpu.models.selection import SelectionConfig, SelectionModel
+    from sola_tpu.parallel.mesh import make_mesh
+
+    cfg = SelectionConfig(object_token_dim=16, lang_token_dim=64, n_layers=1,
+                          n_negative=4, dropout_p=0.0, n_groups=4,
+                          n_groups_module=4)
+    model = SelectionModel(cfg)
+    b, n, t, w = 8, 4, 16, 5
+    obj = rng.standard_normal((b, n, t, 16), dtype=np.float32)
+    lang = rng.standard_normal((b, w, 64), dtype=np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(obj[:1]),
+                           jnp.asarray(lang[:1]))
+
+    single_map, _ = model.apply(variables, jnp.asarray(obj),
+                                jnp.asarray(lang))
+
+    mesh = make_mesh(n_data=8)
+    data = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    obj_s = jax.device_put(jnp.asarray(obj), data)
+    lang_s = jax.device_put(jnp.asarray(lang), data)
+    vars_s = jax.device_put(variables, repl)
+
+    @jax.jit
+    def fwd(v, o, l):
+        return model.apply(v, o, l)
+
+    with mesh:
+        sharded_map, _ = fwd(vars_s, obj_s, lang_s)
+    np.testing.assert_allclose(np.asarray(sharded_map),
+                               np.asarray(single_map), atol=1e-5)
