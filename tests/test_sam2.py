@@ -1,0 +1,149 @@
+"""SAM2-in-JAX smoke tests on the tiny config: module shapes, jit, and the
+video-predictor protocol over a synthetic moving-square video."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sola_tpu.trackgen.sam2.model import SAM2Config, SAM2Model
+from sola_tpu.trackgen.sam2.video import SAM2VideoPredictor
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = SAM2Config.tiny_test(image_size=64)
+    model = SAM2Model(cfg)
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img)
+    return cfg, model, variables
+
+
+def test_encode_image_shapes(tiny_model):
+    cfg, model, variables = tiny_model
+    img = jnp.ones((2, 64, 64, 3), jnp.float32)
+    out = model.apply(variables, img, method=SAM2Model.encode_image)
+    d = cfg.d_model
+    assert out["pix"].shape == (2, 4, 4, d)
+    assert out["pos"].shape == (2, 4, 4, d)
+    assert out["s1"].shape == (2, 8, 8, d // 4)
+    assert out["s0"].shape == (2, 16, 16, d // 8)
+
+
+def test_sam_heads_shapes(tiny_model):
+    cfg, model, variables = tiny_model
+    b = 3
+    pix = jnp.ones((b, 4, 4, cfg.d_model), jnp.float32)
+    s0 = jnp.zeros((b, 16, 16, cfg.d_model // 8), jnp.float32)
+    s1 = jnp.zeros((b, 8, 8, cfg.d_model // 4), jnp.float32)
+    coords = jnp.zeros((b, 2, 2), jnp.float32)
+    labels = jnp.array([[1, -1]] * b, jnp.int32)
+    out = model.apply(variables, pix, s0, s1, coords, labels, None, False,
+                      method=SAM2Model.sam_heads)
+    assert out["low_res_masks"].shape == (b, 1, 16, 16)
+    assert out["high_res_masks"].shape == (b, 1, 64, 64)
+    assert out["obj_ptr"].shape == (b, cfg.d_model)
+    assert out["object_score_logits"].shape == (b, 1)
+    # multimask
+    out = model.apply(variables, pix, s0, s1, coords, labels, None, True,
+                      method=SAM2Model.sam_heads)
+    assert out["low_res_masks"].shape == (b, 3, 16, 16)
+    assert out["ious"].shape == (b, 3)
+
+
+def test_memory_encode_and_condition(tiny_model):
+    cfg, model, variables = tiny_model
+    b, h = 2, cfg.feat_hw
+    pix = jnp.ones((b, h, h, cfg.d_model), jnp.float32)
+    pos = jnp.zeros_like(pix)
+    masks = jnp.zeros((b, 64, 64), jnp.float32)
+    mem = model.apply(variables, pix, masks, method=SAM2Model.encode_memory)
+    assert mem.shape == (b, h, h, cfg.mem_dim)
+
+    cond_mem = jnp.stack([mem], axis=1)
+    cond_valid = jnp.ones((b, 1), bool)
+    rec = jnp.zeros((b, cfg.num_recent, h, h, cfg.mem_dim))
+    rec_valid = jnp.zeros((b, cfg.num_recent), bool)
+    rec_tpos = jnp.ones((b, cfg.num_recent), jnp.int32)
+    ptrs = jnp.zeros((b, cfg.max_obj_ptrs, cfg.d_model))
+    ptr_valid = jnp.zeros((b, cfg.max_obj_ptrs), bool)
+    out = model.apply(variables, pix, pos, cond_mem, cond_valid, rec,
+                      rec_valid, rec_tpos, ptrs, ptr_valid,
+                      method=SAM2Model.condition_features)
+    assert out.shape == pix.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+    # no memory at all -> must equal the no-mem path and stay finite
+    out2 = model.apply(variables, pix, pos, cond_mem,
+                       jnp.zeros((b, 1), bool), rec, rec_valid, rec_tpos,
+                       ptrs, ptr_valid, method=SAM2Model.condition_features)
+    assert np.isfinite(np.asarray(out2)).all()
+
+
+@pytest.fixture(scope="module")
+def video_predictor(tiny_model):
+    cfg, model, variables = tiny_model
+    return SAM2VideoPredictor(model, variables, obj_batch=2)
+
+
+def make_video(t=6, size=64):
+    frames = []
+    for i in range(t):
+        f = np.zeros((size, size, 3), np.uint8)
+        x = 8 + 4 * i
+        f[20:36, x:x + 12] = 200
+        frames.append(f)
+    return frames
+
+
+def test_video_protocol(video_predictor):
+    pred = video_predictor
+    frames = make_video()
+    state = pred.init_state(frames)
+    assert state.num_frames == 6
+
+    mask = np.zeros((64, 64), np.float32)
+    mask[20:36, 8:20] = 1
+    f_idx, obj_ids, logits = pred.add_new_mask(state, 0, obj_id=7, mask=mask)
+    assert f_idx == 0 and obj_ids == [7]
+    # prompt-frame output reproduces the input mask
+    assert np.array_equal(np.asarray(logits[0]) > 0, mask > 0.5)
+
+    outputs = {}
+    for frame_idx, obj_ids, out_logits in pred.propagate_in_video(state):
+        assert obj_ids == [7]
+        assert out_logits.shape == (1, 1, 64, 64)
+        outputs[frame_idx] = np.asarray(out_logits)
+    assert sorted(outputs) == [0, 1, 2, 3, 4, 5]
+
+    for frame_idx, _, out_logits in pred.propagate_in_video(state,
+                                                            reverse=True):
+        outputs[frame_idx] = np.asarray(out_logits)
+
+    tokens = pred.get_output_tokens(state)
+    assert sorted(tokens) == [0, 1, 2, 3, 4, 5]
+    assert tokens[0].shape == (1, pred.cfg.d_model)
+    assert all(np.isfinite(t).all() for t in tokens.values())
+
+    # reset clears everything
+    pred.reset_state(state)
+    assert state.banks is None and not state.prompts
+    assert not state.output_tokens
+
+
+def test_video_two_objects(video_predictor):
+    pred = video_predictor
+    frames = make_video()
+    state = pred.init_state(frames)
+    m1 = np.zeros((64, 64), np.float32)
+    m1[20:36, 8:20] = 1
+    m2 = np.zeros((64, 64), np.float32)
+    m2[40:50, 40:50] = 1
+    pred.add_new_mask(state, 0, 3, m1)
+    pred.add_new_mask(state, 0, 9, m2)
+    for frame_idx, obj_ids, logits in pred.propagate_in_video(state):
+        assert obj_ids == [3, 9]
+        assert logits.shape == (2, 1, 64, 64)
+    tokens = pred.get_output_tokens(state)
+    assert tokens[1].shape == (2, pred.cfg.d_model)
