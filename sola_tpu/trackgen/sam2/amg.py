@@ -1,0 +1,150 @@
+"""SAM2 automatic mask generator: dense point-grid proposal generation.
+
+The grid-prompt source of the pipeline (generate_prompts_grid.py:66-100 uses
+``SAM2AutomaticMaskGenerator.generate``). TPU-first layout: the 32x32 point
+grid decodes in fixed-size batches inside one jit program per batch (3 masks
+per point on the MXU); IoU/stability filtering runs on-device over low-res
+logits; only survivors are upscaled to image resolution. Box NMS and RLE
+conversion stay on host (tiny work).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sola_tpu.trackgen.sam2.image import (SAM2ImagePredictor,
+                                          compute_stability_score)
+
+
+def build_point_grid(n_per_side: int) -> np.ndarray:
+    """Normalized (n^2, 2) xy grid in (0, 1), SAM's AMG layout."""
+    offset = 1.0 / (2 * n_per_side)
+    pts = np.linspace(offset, 1.0 - offset, n_per_side, dtype=np.float32)
+    xs, ys = np.meshgrid(pts, pts)
+    return np.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1)
+
+
+def box_from_mask(mask: np.ndarray) -> np.ndarray:
+    """xyxy bounding box of a binary mask (zeros -> [0,0,0,0])."""
+    ys, xs = np.nonzero(mask)
+    if len(ys) == 0:
+        return np.zeros(4, np.float32)
+    return np.asarray([xs.min(), ys.min(), xs.max() + 1, ys.max() + 1],
+                      np.float32)
+
+
+def box_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise IoU of (N, 4) and (M, 4) xyxy boxes."""
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area_a[:, None] + area_b[None, :] - inter
+    return np.where(union > 0, inter / np.maximum(union, 1e-9), 0.0)
+
+
+def nms(boxes: np.ndarray, scores: np.ndarray,
+        iou_thresh: float) -> np.ndarray:
+    """Greedy NMS; returns kept indices sorted by score desc."""
+    order = np.argsort(-scores)
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    ious = box_iou(boxes, boxes)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        suppressed |= ious[i] > iou_thresh
+        suppressed[i] = True
+    return np.asarray(keep, np.int64)
+
+
+class SAM2AutomaticMaskGenerator:
+    def __init__(self, predictor: SAM2ImagePredictor,
+                 points_per_side: int = 32,
+                 points_per_batch: int = 64,
+                 pred_iou_thresh: float = 0.8,
+                 stability_score_thresh: float = 0.95,
+                 stability_score_offset: float = 1.0,
+                 box_nms_thresh: float = 0.7,
+                 min_mask_region_area: int = 0):
+        self.predictor = predictor
+        self.points_per_side = points_per_side
+        self.points_per_batch = points_per_batch
+        self.pred_iou_thresh = pred_iou_thresh
+        self.stability_score_thresh = stability_score_thresh
+        self.stability_score_offset = stability_score_offset
+        self.box_nms_thresh = box_nms_thresh
+        self.min_mask_region_area = min_mask_region_area
+
+    def generate(self, image: np.ndarray) -> list[dict]:
+        """(H, W, 3) uint8 -> list of mask records sorted by area desc, with
+        the fields the grid-prompt CLI consumes (segmentation,
+        stability_score, area; generate_prompts_grid.py:119-128)."""
+        h, w = image.shape[:2]
+        self.predictor.set_image(image)
+        grid = build_point_grid(self.points_per_side)
+        coords = grid * np.asarray([w, h], np.float32)
+
+        kept_low, kept_iou, kept_stab, kept_pts = [], [], [], []
+        for start in range(0, len(coords), self.points_per_batch):
+            batch = coords[start:start + self.points_per_batch]
+            pts = batch[:, None, :]  # (B, 1, 2)
+            labels = np.ones((len(batch), 1), np.int32)
+            _, ious, low_res = self.predictor.predict(
+                point_coords=pts, point_labels=labels,
+                multimask_output=True)
+            n, k = ious.shape
+            low = low_res.reshape(n * k, *low_res.shape[2:])
+            iou_flat = ious.reshape(-1)
+            stab = compute_stability_score(
+                low, 0.0, self.stability_score_offset)
+            keep = (iou_flat > self.pred_iou_thresh) & (
+                stab > self.stability_score_thresh)
+            pts_rep = np.repeat(batch, k, axis=0)
+            for i in np.nonzero(keep)[0]:
+                kept_low.append(low[i])
+                kept_iou.append(float(iou_flat[i]))
+                kept_stab.append(float(stab[i]))
+                kept_pts.append(pts_rep[i])
+
+        if not kept_low:
+            return []
+
+        # upscale survivors to image resolution in fixed-size chunks
+        masks = []
+        chunk = 32
+        low_all = np.stack(kept_low, axis=0)
+        for start in range(0, len(low_all), chunk):
+            part = jnp.asarray(low_all[start:start + chunk])
+            up = jax.image.resize(part, (part.shape[0], h, w),
+                                  method="linear")
+            masks.append(np.asarray(up > 0.0))
+        masks = np.concatenate(masks, axis=0)
+
+        boxes = np.stack([box_from_mask(m) for m in masks], axis=0)
+        areas = masks.reshape(len(masks), -1).sum(axis=1)
+        nonempty = areas > max(self.min_mask_region_area, 0)
+        idxs = np.nonzero(nonempty)[0]
+        if len(idxs) == 0:
+            return []
+        keep = nms(boxes[idxs], np.asarray(kept_iou)[idxs],
+                   self.box_nms_thresh)
+        keep = idxs[keep]
+
+        records = []
+        for i in keep:
+            records.append({
+                "segmentation": masks[i],
+                "area": int(areas[i]),
+                "bbox": boxes[i].tolist(),
+                "predicted_iou": kept_iou[i],
+                "stability_score": kept_stab[i],
+                "point_coords": [kept_pts[i].tolist()],
+            })
+        records.sort(key=lambda r: r["area"], reverse=True)
+        return records

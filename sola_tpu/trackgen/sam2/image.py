@@ -1,0 +1,120 @@
+"""SAM2 image predictor: single-image box/point -> mask prediction.
+
+The API surface the reference's prompt generators consume
+(prompt_generator.py:59-117: set_image / predict with boxes,
+multimask_output=False) plus the stability score helper
+(prompt_generator.py:169-186).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sola_tpu.trackgen.sam2.image_encoder import normalize_image
+from sola_tpu.trackgen.sam2.model import SAM2Config, SAM2Model
+
+
+class SAM2ImagePredictor:
+    def __init__(self, model: SAM2Model, variables: dict,
+                 max_prompts: int = 8):
+        self.model = model
+        self.cfg: SAM2Config = model.cfg
+        self.variables = variables
+        self.max_prompts = max_prompts
+        self._feats = None
+        self._orig_hw = None
+
+        self._encode = jax.jit(lambda img: model.apply(
+            variables, img, method=SAM2Model.encode_image))
+
+        def _predict(pix, s0, s1, coords, labels, multimask):
+            return model.apply(variables, pix, s0, s1, coords, labels, None,
+                               multimask, method=SAM2Model.sam_heads)
+
+        self._predict_single = jax.jit(
+            lambda pix, s0, s1, c, l: _predict(pix, s0, s1, c, l, False))
+        self._predict_multi = jax.jit(
+            lambda pix, s0, s1, c, l: _predict(pix, s0, s1, c, l, True))
+
+    def set_image(self, image: np.ndarray) -> None:
+        """(H, W, 3) uint8."""
+        s = self.cfg.image_size
+        self._orig_hw = image.shape[:2]
+        img = jax.image.resize(jnp.asarray(image, jnp.float32), (s, s, 3),
+                               method="linear")
+        img = normalize_image(img.astype(jnp.uint8))
+        self._feats = self._encode(img[None])
+
+    def _scale_coords(self, coords: np.ndarray) -> np.ndarray:
+        h, w = self._orig_hw
+        s = self.cfg.image_size
+        out = np.asarray(coords, np.float32).copy()
+        out[..., 0] *= s / w
+        out[..., 1] *= s / h
+        return out
+
+    def predict(self, point_coords: Optional[np.ndarray] = None,
+                point_labels: Optional[np.ndarray] = None,
+                box: Optional[np.ndarray] = None,
+                multimask_output: bool = False):
+        """Returns (masks (N, K, H, W) bool, scores (N, K),
+        low_res_logits (N, K, 4h, 4w)); N prompt sets, K=3 if multimask."""
+        assert self._feats is not None, "call set_image first"
+        prompts = []
+        if box is not None:
+            box = np.asarray(box, np.float32)
+            if box.ndim == 1:
+                box = box[None]
+            corners = self._scale_coords(box.reshape(-1, 2, 2))
+            labels = np.tile(np.asarray([2, 3], np.int32)[None],
+                             (corners.shape[0], 1))
+            prompts.append((corners, labels))
+        if point_coords is not None:
+            pts = self._scale_coords(
+                np.asarray(point_coords, np.float32).reshape(
+                    -1, point_coords.shape[-2]
+                    if point_coords.ndim > 2 else 1, 2))
+            lbl = np.asarray(point_labels, np.int32).reshape(pts.shape[:2])
+            prompts.append((pts, lbl))
+        assert prompts, "no prompts given"
+        if len(prompts) == 1:
+            coords, labels = prompts[0]
+        else:
+            n = prompts[0][0].shape[0]
+            coords = np.concatenate([p[0] for p in prompts], axis=1)
+            labels = np.concatenate([p[1] for p in prompts], axis=1)
+            assert coords.shape[0] == n
+
+        n = coords.shape[0]
+        f = self._feats
+        pix = jnp.broadcast_to(f["pix"], (n,) + f["pix"].shape[1:])
+        s0 = jnp.broadcast_to(f["s0"], (n,) + f["s0"].shape[1:])
+        s1 = jnp.broadcast_to(f["s1"], (n,) + f["s1"].shape[1:])
+        fn = self._predict_multi if multimask_output else self._predict_single
+        out = fn(pix, s0, s1, jnp.asarray(coords), jnp.asarray(labels))
+        high = _resize_masks(out["high_res_masks"], self._orig_hw)
+        masks = np.asarray(high > 0.0)
+        return masks, np.asarray(out["ious"]), np.asarray(
+            out["low_res_masks"])
+
+
+def _resize_masks(masks: jax.Array, orig_hw) -> jax.Array:
+    h, w = orig_hw
+    return jax.image.resize(
+        masks, masks.shape[:2] + (h, w), method="linear")
+
+
+def compute_stability_score(logits: np.ndarray, mask_threshold: float = 0.0,
+                            threshold_offset: float = 1.0) -> np.ndarray:
+    """Stability = |logit > thr+off| / |logit > thr-off| over the last two
+    axes (prompt_generator.py:169-186 / SAM AMG semantics)."""
+    logits = np.asarray(logits)
+    inter = (logits > (mask_threshold + threshold_offset)).sum(
+        axis=(-2, -1)).astype(np.float64)
+    union = (logits > (mask_threshold - threshold_offset)).sum(
+        axis=(-2, -1)).astype(np.float64)
+    return np.where(union > 0, inter / np.maximum(union, 1), 0.0)

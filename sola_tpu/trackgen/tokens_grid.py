@@ -1,0 +1,186 @@
+"""Grid-prompt token generation: prompts JSON -> tracked masklets + tokens.
+
+Library + CLI port of generate_tokens_grid.py: loads per-video grid prompt
+JSONs (sam2_prompts/grid_prompts layout), runs the tracking engine over a
+video predictor, and writes sam2_tracks/grid_tracks artifacts plus
+``runtime_info_{bin}.json`` (generate_tokens_grid.py:280-307).
+
+Canonical sharding flags are ``--pid/--n_pids`` (the reference mixes
+``--n_pid``/``args.n_pids`` and crashes, SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+from sola_tpu.core import mask_ops, rle
+from sola_tpu.data import meta as meta_lib
+from sola_tpu.data import tracks as tracks_lib
+from sola_tpu.trackgen import engine, gt_utils
+
+DATA_DIR_DICT = {
+    "mevis": "datasets/mevis",
+    "ref-ytbvos": "datasets/ref-ytbvos",
+    "ref-davis": "datasets/ref-davis",
+}
+
+
+def load_prompt_masks(prompt_path: str, video_id: str,
+                      bin_size: int, exact_bin: bool = False):
+    """Parse a prompts JSON into engine PromptMask objects + raw infos."""
+    with open(prompt_path, "r") as f:
+        info = json.load(f)
+    assert info["video_id"] == video_id, (
+        f"video id mismatch: {info['video_id']} != {video_id}")
+    if exact_bin:
+        assert bin_size == info["bin_size"], (
+            f"bin size mismatch: {bin_size} != {info['bin_size']}")
+    else:
+        assert bin_size % info["bin_size"] == 0, (
+            f"bin size mismatch: {bin_size} % {info['bin_size']} != 0")
+    raw = info["prompt_masks"]
+    prompts = [
+        engine.PromptMask(
+            prompt_id=p["prompt_id"],
+            frame_idx=int(p["frame_idx"]),
+            segmentation=rle.decode(p["segmentation"]),
+        )
+        for p in raw
+    ]
+    return prompts, raw
+
+
+def run_video(predictor, video_id: str, frames_dir: str, prompt_path: str,
+              output_root: str, dataset: str, data_type: str, *,
+              bin_size: int = 4, batch_size: int = 4,
+              miou_thresh: float = 0.7, n_max_tracks: int = 64,
+              gt_masklets: Optional[dict] = None,
+              output_dir_name: str = "grid_tracks",
+              log: Callable[[str], None] = print,
+              state: Optional[object] = None) -> dict:
+    if frames_dir is not None:
+        n_frames = len(os.listdir(frames_dir))
+    elif state is not None:
+        n_frames = state.num_frames
+    else:
+        raise ValueError("need frames_dir or a pre-initialized state")
+    prompts, _ = load_prompt_masks(prompt_path, video_id, bin_size)
+    n_not_used = engine.mark_not_used(prompts, bin_size)
+    if state is None:
+        state = predictor.init_state(None, video_path=frames_dir)
+
+    track_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        output_root)))
+
+    def on_track(result: engine.TrackResult) -> None:
+        metrics = None
+        if gt_masklets is not None:
+            metrics = gt_utils.metrics_vs_gt(result.masklet_small,
+                                             gt_masklets)
+        tracks_lib.save_track(
+            track_root, output_dir_name, dataset, data_type, video_id,
+            result.prompt_id, rle.encode_masklet(result.masklet),
+            "SAM2 AMG MASK", result.tokens, metrics=metrics)
+
+    census = engine.generate_tracks(
+        predictor, state, prompts,
+        n_frames=n_frames, batch_size=batch_size, miou_thresh=miou_thresh,
+        n_max_tracks=n_max_tracks, on_track=on_track,
+        scan_all_for_same_frame=True, log=log)
+    census["n_not_used"] = n_not_used
+    if census["n_tracked"] < n_max_tracks:
+        assert not census["not_tracked_prompt_ids"], (
+            f"untracked prompts remain: {census['not_tracked_prompt_ids']}")
+    return census
+
+
+def main(argv=None, predictor_factory=None) -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dataset", type=str, default="mevis")
+    parser.add_argument("--data_type", type=str, default="valid_u")
+    parser.add_argument("--bin_size", type=int, default=4)
+    parser.add_argument("--batch_size", type=int, default=4)
+    parser.add_argument("--miou_thresh", type=float, default=0.7)
+    parser.add_argument("--n_max_tracks", type=int, default=64)
+    parser.add_argument("--sam2_ckpt", type=str,
+                        default="pretrained_models/sam2_hiera_large.pt")
+    parser.add_argument("--save_prec_rec_iou", action="store_true")
+    parser.add_argument("--pid", type=int, default=0)
+    parser.add_argument("--n_pids", type=int, default=1)
+    parser.add_argument("--data_root", type=str, default=".")
+    parser.add_argument("--output_root", type=str, default=".")
+    args = parser.parse_args(argv)
+
+    assert args.data_type in meta_lib.DATA_TYPES[args.dataset]
+    data_dir = os.path.join(args.data_root, DATA_DIR_DICT[args.dataset],
+                            args.data_type)
+    prompt_dir = os.path.join(args.output_root, "sam2_prompts/grid_prompts",
+                              args.dataset, args.data_type)
+    out_dir = os.path.join(args.output_root, "sam2_tracks/grid_tracks",
+                           args.dataset, args.data_type)
+
+    if args.dataset == "mevis":
+        with open(os.path.join(data_dir, "meta_expressions.json")) as f:
+            meta = json.load(f)
+    else:
+        with open(os.path.join(args.data_root, DATA_DIR_DICT[args.dataset],
+                               "meta_expressions", args.data_type,
+                               "meta_expressions.json")) as f:
+            meta = json.load(f)
+
+    mask_dict = None
+    if args.save_prec_rec_iou and args.dataset == "mevis":
+        with open(os.path.join(data_dir, "mask_dict.json")) as f:
+            mask_dict = json.load(f)
+
+    if predictor_factory is None:
+        predictor_factory = _default_predictor_factory(args.sam2_ckpt)
+    predictor = predictor_factory()
+
+    runtime_info = {}
+    runtime_path = os.path.join(out_dir, f"runtime_info_{args.bin_size}.json")
+    for video_idx, video_id in enumerate(meta["videos"]):
+        if video_idx % args.n_pids != args.pid:
+            continue
+        start = time.time()
+        gt_masklets = None
+        if args.save_prec_rec_iou:
+            if args.dataset == "mevis":
+                gt = gt_utils.get_masklets(video_id, meta, mask_dict)
+                gt_masklets = {
+                    k: np.asarray(mask_ops.reshape_masklet_auto(v))
+                    for k, v in gt.items()}
+            else:
+                gt_masklets = gt_utils.get_masklets_ytbvos(
+                    os.path.join(data_dir, "Annotations", video_id),
+                    reshape=True)
+        census = run_video(
+            predictor, video_id,
+            os.path.join(data_dir, "JPEGImages", video_id),
+            os.path.join(prompt_dir, f"{video_id}.json"),
+            out_dir, args.dataset, args.data_type,
+            bin_size=args.bin_size, batch_size=args.batch_size,
+            miou_thresh=args.miou_thresh, n_max_tracks=args.n_max_tracks,
+            gt_masklets=gt_masklets)
+        census["time"] = time.time() - start
+        runtime_info[video_id] = census
+        os.makedirs(out_dir, exist_ok=True)
+        with open(runtime_path, "w") as f:
+            json.dump(runtime_info, f, indent=4)
+
+
+def _default_predictor_factory(ckpt_path: str):
+    def factory():
+        from sola_tpu.trackgen.sam2.convert import load_sam2_video_predictor
+        return load_sam2_video_predictor(ckpt_path)
+    return factory
+
+
+if __name__ == "__main__":
+    main()
