@@ -30,6 +30,7 @@ class MaskDecoderConfig:
     iou_head_hidden_dim: int = 256
     use_high_res_features: bool = True
     pred_obj_scores: bool = True
+    pred_obj_scores_mlp: bool = True
     dynamic_multimask_via_stability: bool = True
     dynamic_multimask_stability_delta: float = 0.05
     dynamic_multimask_stability_thresh: float = 0.98
@@ -148,7 +149,11 @@ class MaskDecoder(nn.Module):
         if cfg.pred_obj_scores:
             self.obj_score_token = self.param(
                 "obj_score_token", nn.initializers.normal(1.0), (1, d))
-            self.pred_obj_score_head = nn.Dense(1, name="obj_score_head")
+            if cfg.pred_obj_scores_mlp:
+                self.pred_obj_score_head = MLP(d, 1, 3,
+                                               name="obj_score_head")
+            else:
+                self.pred_obj_score_head = nn.Dense(1, name="obj_score_head")
         self.upscale_conv1 = nn.ConvTranspose(
             d // 4, (2, 2), strides=(2, 2), name="upscale_conv1")
         self.upscale_ln = LayerNorm2d(name="upscale_ln")
