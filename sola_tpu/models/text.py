@@ -34,10 +34,20 @@ class RobertaConfig:
     max_position_embeddings: int = 514
     pad_token_id: int = 1
     layer_norm_eps: float = 1e-5
+    # "roberta": positions offset past pad_token_id; "bert": plain arange
+    position_style: str = "roberta"
 
     @classmethod
     def large(cls) -> "RobertaConfig":
         return cls()
+
+    @classmethod
+    def bert_base(cls) -> "RobertaConfig":
+        """BERT-base-uncased (GroundingDINO's text encoder)."""
+        return cls(vocab_size=30522, hidden_size=768, num_layers=12,
+                   num_heads=12, intermediate_size=3072,
+                   max_position_embeddings=512, pad_token_id=0,
+                   layer_norm_eps=1e-12, position_style="bert")
 
     @classmethod
     def tiny(cls) -> "RobertaConfig":
@@ -97,7 +107,12 @@ class RobertaEncoder(nn.Module):
         cfg = self.cfg
         word = nn.Embed(cfg.vocab_size, cfg.hidden_size, name="word_emb")(
             input_ids)
-        pos_ids = create_position_ids(input_ids, cfg.pad_token_id)
+        if cfg.position_style == "bert":
+            pos_ids = jnp.broadcast_to(
+                jnp.arange(input_ids.shape[1], dtype=jnp.int32)[None],
+                input_ids.shape)
+        else:
+            pos_ids = create_position_ids(input_ids, cfg.pad_token_id)
         pos = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
                        name="pos_emb")(pos_ids)
         tok_type = self.param("token_type_emb", nn.initializers.zeros,

@@ -1,0 +1,115 @@
+"""GroundingDINO-in-JAX tests: deformable sampling vs a NumPy oracle, Swin
+shapes, tiny end-to-end forward, get_boxes API."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sola_tpu.trackgen.gdino import deformable
+from sola_tpu.trackgen.gdino.model import (GDINOConfig, GroundingDINO,
+                                           GroundingModel, build_gdino)
+from sola_tpu.trackgen.gdino.swin import SwinConfig, SwinTransformer
+
+
+def np_bilinear(value, loc):
+    """Oracle: zero-padded bilinear sampling, align_corners=False."""
+    b, h, w, c = value.shape
+    out = np.zeros(loc.shape[:-1] + (c,), np.float32)
+    for bi in range(b):
+        for ni in range(loc.shape[1]):
+            x = loc[bi, ni, 0] * w - 0.5
+            y = loc[bi, ni, 1] * h - 0.5
+            x0, y0 = int(np.floor(x)), int(np.floor(y))
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    xi, yi = x0 + dx, y0 + dy
+                    wgt = ((x - x0) if dx else (1 - (x - x0))) * \
+                          ((y - y0) if dy else (1 - (y - y0)))
+                    if 0 <= xi < w and 0 <= yi < h:
+                        out[bi, ni] += wgt * value[bi, yi, xi]
+    return out
+
+
+def test_bilinear_sample_matches_oracle(rng):
+    value = rng.standard_normal((2, 5, 7, 3), dtype=np.float32)
+    loc = rng.random((2, 11, 2)).astype(np.float32) * 1.2 - 0.1  # some OOB
+    ours = np.asarray(deformable.bilinear_sample(
+        jnp.asarray(value), jnp.asarray(loc)))
+    ref = np_bilinear(value, loc)
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_ms_deform_attn_core(rng):
+    b, lq, nh, nl, np_, hd = 1, 3, 2, 2, 2, 4
+    values = [rng.standard_normal((b, 6, 8, nh * hd), dtype=np.float32),
+              rng.standard_normal((b, 3, 4, nh * hd), dtype=np.float32)]
+    locs = rng.random((b, lq, nh, nl, np_, 2)).astype(np.float32)
+    w = rng.random((b, lq, nh, nl, np_)).astype(np.float32)
+    w = w / w.sum(axis=(-2, -1), keepdims=True)
+    out = np.asarray(deformable.ms_deform_attn_core(
+        [jnp.asarray(v) for v in values], jnp.asarray(locs),
+        jnp.asarray(w)))
+    assert out.shape == (b, lq, nh * hd)
+
+    # oracle: per level/head/point bilinear + weighted sum
+    ref = np.zeros((b, lq, nh, hd), np.float32)
+    for lvl, value in enumerate(values):
+        v = value.reshape(b, *value.shape[1:3], nh, hd)
+        for h in range(nh):
+            vm = v[:, :, :, h]
+            for p in range(np_):
+                loc = locs[:, :, h, lvl, p]
+                sampled = np_bilinear(vm, loc)
+                ref[:, :, h] += w[:, :, h, lvl, p][..., None] * sampled
+    np.testing.assert_allclose(out, ref.reshape(b, lq, nh * hd), atol=1e-4)
+
+
+def test_swin_shapes():
+    cfg = SwinConfig.tiny_test()
+    model = SwinTransformer(cfg)
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img)
+    outs = model.apply(variables, img)
+    # out_indices (1, 2, 3) -> strides 8, 16, 32; dims double per stage
+    assert outs[0].shape == (1, 8, 8, 32)
+    assert outs[1].shape == (1, 4, 4, 64)
+    assert outs[2].shape == (1, 2, 2, 128)
+
+
+@pytest.fixture(scope="module")
+def tiny_gdino():
+    cfg = GDINOConfig.tiny_test()
+    return build_gdino(cfg=cfg), cfg
+
+
+def test_gdino_forward(tiny_gdino):
+    (model, variables), cfg = tiny_gdino
+    img = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
+    ids = jnp.asarray([[0, 5, 9, 2, 0, 0]], jnp.int32)
+    mask = jnp.asarray([[1, 1, 1, 1, 0, 0]], jnp.int32)
+    out = model.apply(variables, img, ids, mask)
+    nq = out["pred_boxes"].shape[1]
+    assert out["pred_logits"].shape == (1, nq, cfg.max_text_len)
+    assert out["pred_boxes"].shape == (1, nq, 4)
+    boxes = np.asarray(out["pred_boxes"])
+    assert (boxes >= 0).all() and (boxes <= 1).all()
+    logits = np.asarray(out["pred_logits"])
+    # masked/padded text positions must be -inf
+    assert np.isinf(logits[0, 0, 4:]).all()
+    assert np.isfinite(logits[0, 0, :4]).all()
+
+
+def test_grounding_model_get_boxes(tiny_gdino):
+    (model, variables), cfg = tiny_gdino
+    gm = GroundingModel(model, variables)
+    image = np.zeros((48, 72, 3), np.uint8)
+    preds = gm.get_boxes(image, "the red car.", box_threshold=-1.0)
+    # threshold -1 keeps everything; check schema + pixel-space boxes
+    assert len(preds) > 0
+    p = preds[0]
+    assert set(p) == {"phrase", "bbox", "token_score"}
+    assert p["bbox"].shape == (4,)
+    assert -72 <= p["bbox"][0] <= 144
+    assert len(p["token_score"]) >= 1
