@@ -61,12 +61,18 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array,
 
 
 class RoPEAttention(nn.Module):
-    """Attention with 2D axial RoPE on q and the spatial prefix of k."""
+    """Attention with 2D axial RoPE on q and the spatial prefix of k.
+
+    Large shapes (SAM2's memory cross-attention: 4096 queries x ~29k keys)
+    route through the fused Pallas kernel so the score matrix never hits
+    HBM; small shapes use a dense einsum (lower launch overhead).
+    """
     embed_dim: int
     num_heads: int
     kv_in_dim: Optional[int] = None
     feat_size: int = 64
     rope_theta: float = 10000.0
+    fused_min_keys: int = 4096
 
     @nn.compact
     def __call__(self, q, k, v, num_k_exclude_rope: int = 0,
@@ -91,14 +97,19 @@ class RoPEAttention(nn.Module):
         kh = jnp.concatenate([k_rope, kh[:, :, n_rope:]], axis=2) \
             if num_k_exclude_rope > 0 else k_rope
 
-        scale = 1.0 / jnp.sqrt(jnp.asarray(hd, qh.dtype))
-        logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
-                            preferred_element_type=jnp.float32) * scale
-        if key_mask is not None:
-            logits = jnp.where(key_mask[:, None, None, :], logits, -1e30)
-        probs = jax.nn.softmax(logits, axis=-1).astype(qh.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, vh,
-                         preferred_element_type=jnp.float32).astype(qh.dtype)
+        if lk >= self.fused_min_keys and hd % 8 == 0:
+            from sola_tpu.ops.flash_attention import fused_attention
+            out = fused_attention(qh, kh, vh, key_mask=key_mask)
+        else:
+            scale = 1.0 / jnp.sqrt(jnp.asarray(hd, qh.dtype))
+            logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                                preferred_element_type=jnp.float32) * scale
+            if key_mask is not None:
+                logits = jnp.where(key_mask[:, None, None, :], logits, -1e30)
+            probs = jax.nn.softmax(logits, axis=-1).astype(qh.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", probs, vh,
+                             preferred_element_type=jnp.float32).astype(
+                                 qh.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(b, lq, d)
         return nn.Dense(d, name="out_proj")(out)
 
