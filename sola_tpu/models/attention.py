@@ -29,11 +29,27 @@ def torch_linear_init(key, shape, dtype=jnp.float32):
                               maxval=1.0) / jnp.sqrt(fan_in)
 
 
+class WSDense(nn.Module):
+    """Dense layer with on-the-fly weight standardization (ws.Linear
+    semantics, module/ws.py:24-38)."""
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from sola_tpu.models.layers import standardize_dense_kernel
+        kernel = self.param("kernel", torch_linear_init,
+                            (x.shape[-1], self.features))
+        bias = self.param("bias", torch_linear_init, (self.features,))
+        return x @ standardize_dense_kernel(kernel) + bias
+
+
 class MultiHeadAttention(nn.Module):
     embed_dim: int
     num_heads: int = 8
     dropout_p: float = 0.1
     use_pallas: bool = False
+    # tools/attention.py:20-24 option (the reference never enables it)
+    weight_standardization: bool = False
 
     @nn.compact
     def __call__(
@@ -50,6 +66,8 @@ class MultiHeadAttention(nn.Module):
         hd = d // h
 
         def dense(name):
+            if self.weight_standardization:
+                return WSDense(d, name=name)
             return nn.Dense(d, kernel_init=torch_linear_init,
                             bias_init=torch_linear_init, name=name)
 
