@@ -7,24 +7,27 @@ generate_tokens_grid.py:142-237), re-designed for XLA:
 
 * upstream SAM2 keeps a Python dict-of-dicts inference state with
   variable-length memory lists; here the state is a pytree of fixed-shape
-  device arrays (conditioning slots, a recent-memory ring with absolute
-  frame indices, a 16-slot object-pointer bank) so every per-frame step is
-  one compiled program;
-* the object axis is a padded batch dimension (obj_batch slots);
-* frame features are encoded once per video (bf16 cache in HBM) and shared
-  across objects and both propagation directions;
-* the reverse pass re-seeds the recent ring from a side buffer of the first
-  ``num_recent`` post-conditioning frames, matching upstream's use of
-  forward-pass outputs as reverse-pass memories.
+  device arrays (conditioning slots, a recent-memory ring keyed by absolute
+  frame index, a 16-slot object-pointer bank);
+* **whole propagation passes run as one ``lax.scan`` program**: frame
+  features are encoded once into stacked HBM arrays (bf16), and the scan
+  carries the memory banks across frames — zero host round trips inside the
+  per-frame hot loop (SURVEY.md §3.4's "THE hot loop");
+* the object axis is a padded batch dimension (obj_batch slots) — the
+  reference's "batch<=4 objects per pass" becomes a compile-time knob;
+* every prompted frame becomes a conditioning slot (multi-onset GT seeding
+  supported via ``max_cond_frames``); pass lengths are bucketed so the scan
+  compiles O(log T) times per obj_batch, not per video.
 
-Exposes per-frame outputs compatible with the reference loops:
-``propagate_in_video`` yields (frame_idx, obj_ids, high_res_logits) and
-``state.output_tokens`` collects per-frame obj_ptr tokens.
+Outputs are low-res mask logits resized to the original video resolution —
+the same output path as upstream's video predictor (its high-res masks feed
+only the memory encoder).
 """
 
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Iterator, Optional, Sequence
 
 import jax
@@ -36,39 +39,37 @@ from sola_tpu.trackgen.sam2.model import SAM2Config, SAM2Model
 
 
 @dataclasses.dataclass
-class MemoryBanks:
-    cond_mem: jax.Array      # (B, C, h, w, mem)
-    cond_valid: jax.Array    # (B, C) bool
-    recent_mem: jax.Array    # (B, R, h, w, mem)
-    recent_frame: jax.Array  # (B, R) int32 absolute frame index
-    recent_valid: jax.Array  # (B, R) bool
-    obj_ptrs: jax.Array      # (B, P, d)
-    ptr_frame: jax.Array     # (B, P) int32
-    ptr_valid: jax.Array     # (B, P) bool
-
-
-@dataclasses.dataclass
 class InferenceState:
     num_frames: int
     obj_batch: int
-    features: list            # per-frame dict(s0, s1, pix, pos) device arrays
+    features: dict               # stacked arrays: pix/s0/s1 (T, h, w, c)
+    pos: jax.Array               # (h, w, d) sine PE (frame-independent)
     orig_hw: tuple
-    banks: Optional[MemoryBanks] = None
+    banks: Optional[tuple] = None
     prompts: dict = dataclasses.field(default_factory=dict)
-    # harvested per-frame outputs: frame_idx -> (B, d) obj_ptr
     output_tokens: dict = dataclasses.field(default_factory=dict)
     obj_ids: list = dataclasses.field(default_factory=list)
-    seed_mem: dict = dataclasses.field(default_factory=dict)
+    seed_buf: Optional[jax.Array] = None     # (R, B, h, w, mem) fwd seeds
+    seed_frames: Optional[np.ndarray] = None
+
+
+def _bucket_len(n: int, buckets=(8, 16, 32, 64, 128, 256, 512, 1024)) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return n
 
 
 class SAM2VideoPredictor:
     def __init__(self, model: SAM2Model, variables: dict,
-                 obj_batch: int = 4, feature_dtype=jnp.bfloat16):
+                 obj_batch: int = 4, feature_dtype=jnp.bfloat16,
+                 encode_chunk: int = 4):
         self.model = model
         self.cfg: SAM2Config = model.cfg
         self.variables = variables
         self.obj_batch = obj_batch
         self.feature_dtype = feature_dtype
+        self.encode_chunk = encode_chunk
 
         cfg = self.cfg
 
@@ -83,58 +84,127 @@ class SAM2VideoPredictor:
         self._encode_memory = jax.jit(
             lambda pix, m: _apply(SAM2Model.encode_memory, pix, m))
 
-        def _track(pix, pos, s0, s1, banks_tuple, frame_idx):
+        # ---- the scan body: one tracked frame ----
+        def step(carry, inputs, reverse: bool):
             (cond_mem, cond_valid, recent_mem, recent_frame, recent_valid,
-             obj_ptrs, ptr_frame, ptr_valid) = banks_tuple
+             obj_ptrs, ptr_frame, ptr_valid, seed_buf, cond_min) = carry
+            pix, s0, s1, frame_idx = inputs
+            b = self.obj_batch
+            pix = jnp.broadcast_to(pix.astype(jnp.float32),
+                                   (b,) + pix.shape)
+            s0 = jnp.broadcast_to(s0.astype(jnp.float32), (b,) + s0.shape)
+            s1 = jnp.broadcast_to(s1.astype(jnp.float32), (b,) + s1.shape)
+            from sola_tpu.trackgen.sam2.common import sine_position_encoding
+            pos = jnp.broadcast_to(
+                sine_position_encoding(pix.shape[1], pix.shape[2],
+                                       pix.shape[3])[None], pix.shape)
+
             tpos = jnp.abs(frame_idx - recent_frame)
             rec_ok = recent_valid & (tpos >= 1) & (tpos <= cfg.num_recent)
+            if reverse:
+                rec_ok = rec_ok & (recent_frame >= frame_idx)
+            else:
+                rec_ok = rec_ok & (recent_frame <= frame_idx)
             ptr_ok = ptr_valid & (jnp.abs(frame_idx - ptr_frame)
                                   < cfg.max_obj_ptrs)
             conditioned = _apply(
                 SAM2Model.condition_features, pix, pos, cond_mem, cond_valid,
                 recent_mem, rec_ok, jnp.clip(tpos, 1, cfg.num_recent),
                 obj_ptrs, ptr_ok)
-            b = pix.shape[0]
             coords = jnp.zeros((b, 1, 2), jnp.float32)
             labels = jnp.full((b, 1), -1, jnp.int32)
             out = _apply(SAM2Model.sam_heads, conditioned, s0, s1, coords,
                          labels, None, cfg.multimask_output_for_tracking)
             mem = _apply(SAM2Model.encode_memory, conditioned,
                          out["high_res_masks"][:, 0])
-            return out["high_res_masks"][:, 0], out["obj_ptr"], mem
 
-        self._track_step = jax.jit(_track)
+            slot = frame_idx % cfg.num_recent
+            recent_mem = jax.lax.dynamic_update_index_in_dim(
+                recent_mem, mem, slot, axis=1)
+            recent_frame = recent_frame.at[:, slot].set(frame_idx)
+            recent_valid = recent_valid.at[:, slot].set(True)
+            pslot = frame_idx % cfg.max_obj_ptrs
+            obj_ptrs = jax.lax.dynamic_update_index_in_dim(
+                obj_ptrs, out["obj_ptr"], pslot, axis=1)
+            ptr_frame = ptr_frame.at[:, pslot].set(frame_idx)
+            ptr_valid = ptr_valid.at[:, pslot].set(True)
+
+            # forward pass: stash memories of the first R post-cond frames
+            # to re-seed the ring for the reverse pass
+            if not reverse:
+                sslot = jnp.clip(frame_idx - cond_min - 1, 0,
+                                 cfg.num_recent - 1)
+                write = (frame_idx - cond_min >= 1) & (
+                    frame_idx - cond_min <= cfg.num_recent)
+                new_seed = jax.lax.dynamic_update_index_in_dim(
+                    seed_buf, mem, sslot, axis=0)
+                seed_buf = jnp.where(write, new_seed, seed_buf)
+
+            carry = (cond_mem, cond_valid, recent_mem, recent_frame,
+                     recent_valid, obj_ptrs, ptr_frame, ptr_valid, seed_buf,
+                     cond_min)
+            return carry, (out["low_res_masks"][:, 0].astype(jnp.bfloat16),
+                           out["obj_ptr"])
+
+        @partial(jax.jit, static_argnames=("reverse",))
+        def scan_pass(carry, xs, reverse):
+            return jax.lax.scan(partial(step, reverse=reverse), carry, xs)
+
+        self._scan_pass = scan_pass
+        self._pos_const = None  # set per init_state
+
+        self._resize_batch = jax.jit(
+            lambda lo, h, w: jax.image.resize(
+                lo.astype(jnp.float32),
+                (lo.shape[0], lo.shape[1], h, w), method="linear"),
+            static_argnums=(1, 2))
 
     # ------------------------------------------------------------------
     # Protocol
     # ------------------------------------------------------------------
 
-    def init_state(self, frames: Sequence[np.ndarray],
+    def init_state(self, frames: Optional[Sequence[np.ndarray]],
                    video_path: Optional[str] = None) -> InferenceState:
-        """frames: list of (H, W, 3) uint8 arrays (pre-decoded), or pass
-        ``video_path`` to a JPEG directory."""
+        """frames: list of (H, W, 3) uint8 arrays, or ``video_path`` to a
+        JPEG directory. Encodes all frames (chunked) into stacked bf16 HBM
+        feature arrays shared by every propagation pass."""
         if video_path is not None:
             frames = _load_frames(video_path)
         s = self.cfg.image_size
-        orig_hw = frames[0].shape[:2]
-        feats = []
-        for frame in frames:
-            img = jax.image.resize(
-                jnp.asarray(frame, jnp.float32), (s, s, 3), method="linear")
-            img = normalize_image(img.astype(jnp.uint8))
-            f = self._encode_image(img[None])
-            feats.append({k: v.astype(self.feature_dtype)
-                          for k, v in f.items()})
-        return InferenceState(num_frames=len(frames),
-                              obj_batch=self.obj_batch,
-                              features=feats, orig_hw=orig_hw)
+        orig_hw = tuple(frames[0].shape[:2])
+        t = len(frames)
+        pix_list, s0_list, s1_list = [], [], []
+        pos = None
+        chunk = self.encode_chunk
+        for start in range(0, t, chunk):
+            batch = frames[start:start + chunk]
+            imgs = jnp.stack([
+                normalize_image(jnp.asarray(jax.image.resize(
+                    jnp.asarray(f, jnp.float32), (s, s, 3),
+                    method="linear"), jnp.float32).astype(jnp.uint8))
+                for f in batch], axis=0)
+            f = self._encode_image(imgs)
+            pix_list.append(f["pix"].astype(self.feature_dtype))
+            s0_list.append(f["s0"].astype(self.feature_dtype))
+            s1_list.append(f["s1"].astype(self.feature_dtype))
+            if pos is None:
+                pos = f["pos"][0]
+        features = {
+            "pix": jnp.concatenate(pix_list, axis=0),
+            "s0": jnp.concatenate(s0_list, axis=0),
+            "s1": jnp.concatenate(s1_list, axis=0),
+        }
+        self._pos_const = pos
+        return InferenceState(num_frames=t, obj_batch=self.obj_batch,
+                              features=features, pos=pos, orig_hw=orig_hw)
 
     def reset_state(self, state: InferenceState) -> None:
         state.banks = None
         state.prompts = {}
         state.output_tokens = {}
         state.obj_ids = []
-        state.seed_mem = {}
+        state.seed_buf = None
+        state.seed_frames = None
 
     def add_new_mask(self, state: InferenceState, frame_idx: int,
                      obj_id: int, mask: np.ndarray):
@@ -143,6 +213,7 @@ class SAM2VideoPredictor:
         use_mask_input_as_output_without_sam semantics)."""
         s = self.cfg.image_size
         mask = np.asarray(mask)
+        orig_mask = (mask > 0.5).astype(np.float32)
         if mask.shape != (s, s):
             m = jax.image.resize(jnp.asarray(mask, jnp.float32), (s, s),
                                  method="nearest")
@@ -151,146 +222,158 @@ class SAM2VideoPredictor:
         state.prompts.setdefault(int(frame_idx), {})[int(obj_id)] = mask
         if obj_id not in state.obj_ids:
             state.obj_ids.append(obj_id)
-        logits = jnp.asarray(mask) * 20.0 - 10.0
-        out_logits = _resize_logits(logits[None], state.orig_hw)
+        if orig_mask.shape == state.orig_hw:
+            out_logits = jnp.asarray(orig_mask)[None] * 20.0 - 10.0
+        else:
+            out_logits = _resize_logits(jnp.asarray(mask)[None] * 20.0 - 10.0,
+                                        state.orig_hw)
         return frame_idx, list(state.obj_ids), out_logits
 
     # ------------------------------------------------------------------
 
-    def _empty_banks(self) -> MemoryBanks:
+    def _empty_banks(self):
         cfg = self.cfg
         b = self.obj_batch
         h = cfg.feat_hw
-        return MemoryBanks(
-            cond_mem=jnp.zeros((b, cfg.max_cond_frames, h, h, cfg.mem_dim),
-                               jnp.float32),
-            cond_valid=jnp.zeros((b, cfg.max_cond_frames), bool),
-            recent_mem=jnp.zeros((b, cfg.num_recent, h, h, cfg.mem_dim),
-                                 jnp.float32),
-            recent_frame=jnp.full((b, cfg.num_recent), -10 ** 6, jnp.int32),
-            recent_valid=jnp.zeros((b, cfg.num_recent), bool),
-            obj_ptrs=jnp.zeros((b, cfg.max_obj_ptrs, cfg.d_model),
-                               jnp.float32),
-            ptr_frame=jnp.full((b, cfg.max_obj_ptrs), -10 ** 6, jnp.int32),
-            ptr_valid=jnp.zeros((b, cfg.max_obj_ptrs), bool),
+        return (
+            jnp.zeros((b, cfg.max_cond_frames, h, h, cfg.mem_dim),
+                      jnp.float32),                               # cond_mem
+            jnp.zeros((b, cfg.max_cond_frames), bool),            # cond_valid
+            jnp.zeros((b, cfg.num_recent, h, h, cfg.mem_dim),
+                      jnp.float32),                               # recent_mem
+            jnp.full((b, cfg.num_recent), -10 ** 6, jnp.int32),   # recent_frame
+            jnp.zeros((b, cfg.num_recent), bool),                 # recent_valid
+            jnp.zeros((b, cfg.max_obj_ptrs, cfg.d_model),
+                      jnp.float32),                               # obj_ptrs
+            jnp.full((b, cfg.max_obj_ptrs), -10 ** 6, jnp.int32),  # ptr_frame
+            jnp.zeros((b, cfg.max_obj_ptrs), bool),               # ptr_valid
         )
 
     def _frame_feats(self, state: InferenceState, frame_idx: int):
-        f = state.features[frame_idx]
         b = self.obj_batch
-        pix = jnp.broadcast_to(f["pix"].astype(jnp.float32),
-                               (b,) + f["pix"].shape[1:])
-        pos = jnp.broadcast_to(f["pos"].astype(jnp.float32),
-                               (b,) + f["pos"].shape[1:])
-        s0 = jnp.broadcast_to(f["s0"].astype(jnp.float32),
-                              (b,) + f["s0"].shape[1:])
-        s1 = jnp.broadcast_to(f["s1"].astype(jnp.float32),
-                              (b,) + f["s1"].shape[1:])
-        return pix, pos, s0, s1
+        f = state.features
 
-    def _run_cond_frame(self, state: InferenceState, frame_idx: int):
-        """Consolidate all prompts on ``frame_idx`` into conditioning memory;
-        returns the high-res logits (B, S, S)."""
-        cfg = self.cfg
-        b = self.obj_batch
-        s = cfg.image_size
-        pix, pos, s0, s1 = self._frame_feats(state, frame_idx)
-        masks = np.zeros((b, s, s), np.float32)
-        for slot, obj_id in enumerate(state.obj_ids[:b]):
+        def bc(x):
+            y = x[frame_idx].astype(jnp.float32)
+            return jnp.broadcast_to(y, (b,) + y.shape)
+
+        return bc(f["pix"]), bc(f["s0"]), bc(f["s1"])
+
+    def _prompt_masks(self, state: InferenceState,
+                      frame_idx: int) -> np.ndarray:
+        s = self.cfg.image_size
+        masks = np.zeros((self.obj_batch, s, s), np.float32)
+        for slot, obj_id in enumerate(state.obj_ids[:self.obj_batch]):
             m = state.prompts.get(frame_idx, {}).get(obj_id)
             if m is not None:
                 masks[slot] = m
-        out = self._mask_as_output(pix, s0, s1, jnp.asarray(masks))
-        mem = self._encode_memory(pix, out["high_res_masks"][:, 0])
-        banks = state.banks
-        slot = int(np.argmin(np.asarray(banks.cond_valid[0])))  # first free
-        banks.cond_mem = banks.cond_mem.at[:, slot].set(mem)
-        banks.cond_valid = banks.cond_valid.at[:, slot].set(True)
-        self._push_obj_ptr(state, frame_idx, out["obj_ptr"])
-        state.output_tokens[frame_idx] = out["obj_ptr"]
-        return out["high_res_masks"][:, 0]
+        return masks
 
-    def _push_obj_ptr(self, state: InferenceState, frame_idx: int,
-                      obj_ptr: jax.Array) -> None:
-        banks = state.banks
-        slot = frame_idx % self.cfg.max_obj_ptrs
-        banks.obj_ptrs = banks.obj_ptrs.at[:, slot].set(obj_ptr)
-        banks.ptr_frame = banks.ptr_frame.at[:, slot].set(frame_idx)
-        banks.ptr_valid = banks.ptr_valid.at[:, slot].set(True)
-
-    def _push_recent(self, state: InferenceState, frame_idx: int,
-                     mem: jax.Array) -> None:
-        banks = state.banks
-        slot = frame_idx % self.cfg.num_recent
-        banks.recent_mem = banks.recent_mem.at[:, slot].set(mem)
-        banks.recent_frame = banks.recent_frame.at[:, slot].set(frame_idx)
-        banks.recent_valid = banks.recent_valid.at[:, slot].set(True)
+    def _run_cond_frames(self, state: InferenceState) -> None:
+        """Consolidate every prompted frame into a conditioning slot."""
+        cfg = self.cfg
+        banks = list(self._empty_banks())
+        for slot, frame_idx in enumerate(
+                sorted(state.prompts.keys())[:cfg.max_cond_frames]):
+            pix, s0, s1 = self._frame_feats(state, frame_idx)
+            masks = self._prompt_masks(state, frame_idx)
+            out = self._mask_as_output(pix, s0, s1, jnp.asarray(masks))
+            mem = self._encode_memory(pix, out["high_res_masks"][:, 0])
+            banks[0] = banks[0].at[:, slot].set(mem)
+            banks[1] = banks[1].at[:, slot].set(True)
+            pslot = frame_idx % cfg.max_obj_ptrs
+            banks[5] = banks[5].at[:, pslot].set(out["obj_ptr"])
+            banks[6] = banks[6].at[:, pslot].set(frame_idx)
+            banks[7] = banks[7].at[:, pslot].set(True)
+            state.output_tokens[frame_idx] = out["obj_ptr"]
+        state.banks = tuple(banks)
 
     def propagate_in_video(self, state: InferenceState,
                            reverse: bool = False,
                            start_frame_idx: Optional[int] = None
                            ) -> Iterator[tuple]:
-        """Yields (frame_idx, obj_ids, high_res_logits (n_obj, 1, H, W))."""
+        """Yields (frame_idx, obj_ids, logits (n_obj, 1, H, W)) for every
+        frame of the pass (conditioning frame included, like upstream)."""
         cfg = self.cfg
         if not state.prompts:
             return
         cond_idx = min(state.prompts.keys())
         if state.banks is None:
-            state.banks = self._empty_banks()
-            cond_logits = self._run_cond_frame(state, cond_idx)
-        else:
-            cond_logits = None
+            self._run_cond_frames(state)
 
         start = start_frame_idx if start_frame_idx is not None else cond_idx
         if reverse:
-            frame_range = range(start, -1, -1)
-            # reverse pass: re-seed the ring with post-cond forward memories
-            banks = state.banks
-            banks.recent_valid = jnp.zeros_like(banks.recent_valid)
-            for fidx, mem in state.seed_mem.items():
-                self._push_recent(state, fidx, mem)
+            frame_idxs = np.arange(start - 1, -1, -1, dtype=np.int32)
         else:
-            frame_range = range(start, state.num_frames)
-
+            frame_idxs = np.arange(start + 1, state.num_frames,
+                                   dtype=np.int32)
         n_obj = len(state.obj_ids)
-        for frame_idx in frame_range:
-            if frame_idx == cond_idx:
-                if cond_logits is None:
-                    # cond output recomputation not needed: replay the prompt
-                    s = cfg.image_size
-                    masks = np.zeros((self.obj_batch, s, s), np.float32)
-                    for slot, obj_id in enumerate(state.obj_ids):
-                        m = state.prompts.get(cond_idx, {}).get(obj_id)
-                        if m is not None:
-                            masks[slot] = m
-                    logits = jnp.asarray(masks) * 20.0 - 10.0
-                else:
-                    logits = cond_logits
-                    cond_logits = None
-                yield (frame_idx, list(state.obj_ids),
-                       _resize_logits(logits[:n_obj], state.orig_hw)[:, None])
-                continue
-            pix, pos, s0, s1 = self._frame_feats(state, frame_idx)
-            banks = state.banks
-            banks_tuple = (banks.cond_mem, banks.cond_valid,
-                           banks.recent_mem, banks.recent_frame,
-                           banks.recent_valid, banks.obj_ptrs,
-                           banks.ptr_frame, banks.ptr_valid)
-            logits, obj_ptr, mem = self._track_step(
-                pix, pos, s0, s1, banks_tuple, jnp.asarray(frame_idx))
-            self._push_recent(state, frame_idx, mem)
-            self._push_obj_ptr(state, frame_idx, obj_ptr)
-            state.output_tokens[frame_idx] = obj_ptr
-            if (not reverse and
-                    0 < frame_idx - cond_idx <= cfg.num_recent):
-                state.seed_mem[frame_idx] = mem
-            yield (frame_idx, list(state.obj_ids),
-                   _resize_logits(logits[:n_obj], state.orig_hw)[:, None])
+
+        # conditioning-frame output: the consolidated prompt (upstream yields
+        # the prompt-based output for cond frames)
+        prompt_logits = jnp.asarray(
+            self._prompt_masks(state, cond_idx)) * 20.0 - 10.0
+        yield (cond_idx, list(state.obj_ids),
+               np.asarray(_resize_logits(prompt_logits[:n_obj],
+                                         state.orig_hw))[:, None])
+        if len(frame_idxs) == 0:
+            return
+
+        # assemble the scan carry
+        b = self.obj_batch
+        h = cfg.feat_hw
+        banks = list(state.banks)
+        if reverse:
+            # re-seed the recent ring with post-cond forward memories
+            banks[2] = jnp.zeros_like(banks[2])
+            banks[3] = jnp.full_like(banks[3], -10 ** 6)
+            banks[4] = jnp.zeros_like(banks[4])
+            if state.seed_buf is not None and state.seed_frames is not None:
+                for i, fidx in enumerate(state.seed_frames):
+                    slot = int(fidx) % cfg.num_recent
+                    banks[2] = banks[2].at[:, slot].set(state.seed_buf[i])
+                    banks[3] = banks[3].at[:, slot].set(int(fidx))
+                    banks[4] = banks[4].at[:, slot].set(True)
+        seed_buf = jnp.zeros((cfg.num_recent, b, h, h, cfg.mem_dim),
+                             jnp.float32)
+        carry = tuple(banks) + (seed_buf, jnp.asarray(cond_idx, jnp.int32))
+
+        # bucket the pass length to bound recompiles; padding repeats the
+        # last frame (its outputs are discarded)
+        n_valid = len(frame_idxs)
+        n_pad = _bucket_len(n_valid)
+        idxs = np.concatenate([
+            frame_idxs,
+            np.full(n_pad - n_valid, frame_idxs[-1], np.int32)])
+        f = state.features
+        xs = (f["pix"][idxs], f["s0"][idxs], f["s1"][idxs],
+              jnp.asarray(idxs))
+        carry, (low_res, obj_ptrs) = self._scan_pass(carry, xs,
+                                                     reverse=reverse)
+        state.banks = tuple(carry[:8])
+        if not reverse:
+            state.seed_buf = carry[8]
+            n_seed = min(cfg.num_recent, n_valid)
+            state.seed_frames = frame_idxs[:n_seed]
+
+        # fetch + resize outputs in chunks, yield per frame
+        oh, ow = state.orig_hw
+        chunk = 8
+        for cstart in range(0, n_valid, chunk):
+            cend = min(cstart + chunk, n_valid)
+            lo = low_res[cstart:cend, :n_obj]
+            hi = self._resize_batch(lo, oh, ow)
+            hi_np = np.asarray(hi)
+            toks = np.asarray(obj_ptrs[cstart:cend])
+            for j in range(cend - cstart):
+                fidx = int(frame_idxs[cstart + j])
+                state.output_tokens[fidx] = toks[j]
+                yield (fidx, list(state.obj_ids), hi_np[j][:, None])
 
     def get_output_tokens(self, state: InferenceState) -> dict:
         """frame_idx -> (n_obj, d) obj_ptr array (host)."""
         n_obj = len(state.obj_ids)
-        return {f: np.asarray(tok[:n_obj])
+        return {f: np.asarray(tok)[:n_obj]
                 for f, tok in state.output_tokens.items()}
 
 
