@@ -372,13 +372,18 @@ class GroundingModel:
 
 def build_gdino(ckpt_path: Optional[str] = None,
                 cfg: Optional[GDINOConfig] = None, seed: int = 0):
+    if ckpt_path:
+        from sola_tpu.trackgen.gdino.convert import \
+            build_gdino_from_checkpoint
+        model, variables, _ = build_gdino_from_checkpoint(ckpt_path, cfg,
+                                                          seed)
+        return model, variables
     cfg = cfg or GDINOConfig()
     model = GroundingDINO(cfg)
     img = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
     ids = jnp.zeros((1, 8), jnp.int32)
     mask = jnp.ones((1, 8), jnp.int32)
     variables = model.init(jax.random.PRNGKey(seed), img, ids, mask)
-    # checkpoint conversion lands in a later round; random init otherwise
     return model, variables
 
 
