@@ -21,18 +21,20 @@ def set_seed(seed: int) -> None:
     np.random.seed(seed)
 
 
-def get_configs(argv=None) -> dict:
+def get_configs(argv=None) -> tuple[dict, bool]:
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--resume", action="store_true",
+                        help="continue from the newest epoch checkpoint")
     args, unknown = parser.parse_known_args(argv)
-    return config_lib.load_config(args.config, overrides=unknown)
+    return config_lib.load_config(args.config, overrides=unknown), args.resume
 
 
 def main(argv=None) -> None:
     from sola_tpu.train.loop import train
-    configs = get_configs(argv)
+    configs, resume = get_configs(argv)
     set_seed(42)
-    train(configs)
+    train(configs, resume=resume)
 
 
 if __name__ == "__main__":

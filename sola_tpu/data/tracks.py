@@ -213,10 +213,16 @@ def save_track(track_root: str, output_dir: str, data_name: str,
     info = {"anno_id": anno_id, "rle": rle_masklet, "prompt_type": prompt_type}
     if metrics:
         info.update(metrics)
-    with open(os.path.join(masklet_dir, f"{anno_id:05d}.json"), "w") as f:
+    # atomic writes: a killed shard never leaves a truncated artifact
+    json_path = os.path.join(masklet_dir, f"{anno_id:05d}.json")
+    tmp = json_path + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
         json.dump(info, f)
-    np.save(os.path.join(token_dir, f"{anno_id:05d}.npy"),
-            np.asarray(tokens, np.float32))
+    os.replace(tmp, json_path)
+    npy_path = os.path.join(token_dir, f"{anno_id:05d}.npy")
+    tmp = npy_path + f".tmp.{os.getpid()}.npy"
+    np.save(tmp, np.asarray(tokens, np.float32))
+    os.replace(tmp, npy_path)
     # a new track invalidates any existing label index
     index_path = os.path.join(masklet_dir, INDEX_NAME)
     if os.path.exists(index_path):

@@ -145,8 +145,13 @@ def prepare_batch(batch: dict, text_encoder, train_cfg: Optional[dict] = None):
 
 
 def train(configs: dict, max_steps_per_epoch: Optional[int] = None,
-          text_encoder=None, log_fn=print) -> state_lib.TrainState:
-    """Full training run (train.py:23-246)."""
+          text_encoder=None, log_fn=print,
+          resume: bool = False) -> state_lib.TrainState:
+    """Full training run (train.py:23-246).
+
+    ``resume=True`` restores the newest ``epoch_N`` checkpoint from the
+    output dir (params + optimizer + schedule) and continues — checkpointing
+    the reference lacks (model-only .pth, SURVEY.md §5)."""
     configs = finalize_train_configs(configs)
     out_dir = configs["results"]["output_dir"]
     train_cfg = configs["train"]
@@ -162,14 +167,25 @@ def train(configs: dict, max_steps_per_epoch: Optional[int] = None,
         lr=float(train_cfg["lr"]),
         factor=float(train_cfg.get("lr_factor", 0.5)),
         patience=int(train_cfg.get("lr_patience", 5)))
+    start_epoch = 0
+    if resume:
+        latest = state_lib.latest_checkpoint_epoch(out_dir)
+        if latest is not None:
+            tstate, start_epoch, sched_state = state_lib.restore_checkpoint(
+                out_dir, latest, tstate)
+            if sched_state:
+                schedule.load_state_dict(sched_state)
+            tstate = tstate.replace(opt_state=state_lib.set_learning_rate(
+                tstate.opt_state, schedule.lr))
+            log_fn(f"resumed from epoch {start_epoch}")
 
     loader_dict = get_loader_dict(configs["dataset"])
     train_step = make_train_step(model, optimizer, train_cfg)
     eval_step = make_eval_step(model, train_cfg,
                                float(train_cfg.get("pred_threshold", 0.5)))
-    rng = jax.random.PRNGKey(42)
+    rng = jax.random.PRNGKey(42 + start_epoch)
 
-    for epoch in range(int(train_cfg["n_epochs"])):
+    for epoch in range(start_epoch, int(train_cfg["n_epochs"])):
         t0 = time.time()
         train_losses = {"total": [], "bce": [], "alignment": []}
         for step_idx, raw in enumerate(loader_dict["train"]):

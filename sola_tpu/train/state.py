@@ -120,6 +120,17 @@ def save_checkpoint(ckpt_dir: str, epoch: int, state: TrainState,
     return path
 
 
+def latest_checkpoint_epoch(ckpt_dir: str) -> Optional[int]:
+    """Highest N with an ``epoch_N`` checkpoint dir, or None."""
+    import re
+    if not os.path.isdir(ckpt_dir):
+        return None
+    epochs = [int(m.group(1)) for name in os.listdir(ckpt_dir)
+              if (m := re.fullmatch(r"epoch_(\d+)", name))
+              and os.path.isdir(os.path.join(ckpt_dir, name))]
+    return max(epochs) if epochs else None
+
+
 def restore_checkpoint(ckpt_dir: str, epoch: int,
                        state: Optional[TrainState] = None):
     import json
