@@ -113,6 +113,10 @@ def _fused_attention_3d(q, k, v, mask, block_q: int, block_k: int,
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
+        # batch*heads and q-blocks are independent (megacore-parallel); the
+        # k axis is the online-softmax reduction and must stay sequential
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(q_p, k_p, v_p, mask_p)
     return out[:, :lq]

@@ -187,6 +187,8 @@ def train(configs: dict, max_steps_per_epoch: Optional[int] = None,
 
     for epoch in range(start_epoch, int(train_cfg["n_epochs"])):
         t0 = time.time()
+        # keep per-step metrics as device arrays; fetching only at epoch end
+        # lets dispatch run ahead of the host (no per-step sync)
         train_losses = {"total": [], "bce": [], "alignment": []}
         for step_idx, raw in enumerate(loader_dict["train"]):
             if max_steps_per_epoch and step_idx >= max_steps_per_epoch:
@@ -195,7 +197,9 @@ def train(configs: dict, max_steps_per_epoch: Optional[int] = None,
             batch = prepare_batch(raw, text_encoder, train_cfg)
             tstate, metrics = train_step(tstate, batch, step_rng)
             for k in train_losses:
-                train_losses[k].append(float(metrics[k]))
+                train_losses[k].append(metrics[k])
+        train_losses = {k: [float(x) for x in v]
+                        for k, v in train_losses.items()}
 
         # validation pass (train.py:147-232)
         ev = {"total": [], "bce": [], "alignment": [],
