@@ -93,6 +93,11 @@ class Evaluator:
         m["total_loss"] = float(np.mean(m["total_loss"]))
         m["bce_loss"] = float(np.mean(m["bce_loss"]))
         m["alignment_loss"] = float(np.mean(m["alignment_loss"]))
+        # multi-host runs: confusion counts reduce across processes
+        # (SURVEY.md §5 psum mapping); identity on one process
+        from sola_tpu.parallel.distributed import all_sum
+        counts = all_sum({k: m[k] for k in ("tp", "fp", "fn", "tn")})
+        m.update({k: int(v) for k, v in counts.items()})
         denom = m["tp"] + m["tn"] + m["fp"] + m["fn"]
         m["accuracy"] = (m["tp"] + m["tn"]) / max(denom, 1)
         m["precision"] = m["tp"] / (m["tp"] + m["fp"] + 1e-6)

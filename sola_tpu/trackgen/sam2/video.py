@@ -105,8 +105,14 @@ class SAM2VideoPredictor:
                 rec_ok = rec_ok & (recent_frame >= frame_idx)
             else:
                 rec_ok = rec_ok & (recent_frame <= frame_idx)
+            # only pointers from the tracking past, within the encoder window
+            # (upstream only_obj_ptrs_in_the_past_for_eval)
             ptr_ok = ptr_valid & (jnp.abs(frame_idx - ptr_frame)
                                   < cfg.max_obj_ptrs)
+            if reverse:
+                ptr_ok = ptr_ok & (ptr_frame >= frame_idx)
+            else:
+                ptr_ok = ptr_ok & (ptr_frame <= frame_idx)
             conditioned = _apply(
                 SAM2Model.condition_features, pix, pos, cond_mem, cond_valid,
                 recent_mem, rec_ok, jnp.clip(tpos, 1, cfg.num_recent),
