@@ -44,6 +44,10 @@ class SAM2Config:
     num_maskmem: int = 7          # 1 cond + 6 recent (upstream default)
     max_cond_frames: int = 1      # static conditioning slots
     max_obj_ptrs: int = 16
+    # keep a non-cond memory only every r-th frame (upstream
+    # memory_temporal_stride_for_eval; r>1 trades accuracy for speed on
+    # long videos)
+    memory_stride: int = 1
     sigmoid_scale_for_mem_enc: float = 20.0
     sigmoid_bias_for_mem_enc: float = -10.0
     use_mask_input_as_output_without_sam: bool = True

@@ -99,12 +99,16 @@ class SAM2VideoPredictor:
                 sine_position_encoding(pix.shape[1], pix.shape[2],
                                        pix.shape[3])[None], pix.shape)
 
+            stride = max(cfg.memory_stride, 1)
             tpos = jnp.abs(frame_idx - recent_frame)
-            rec_ok = recent_valid & (tpos >= 1) & (tpos <= cfg.num_recent)
+            rec_ok = recent_valid & (tpos >= 1) & (
+                tpos <= cfg.num_recent * stride)
             if reverse:
                 rec_ok = rec_ok & (recent_frame >= frame_idx)
             else:
                 rec_ok = rec_ok & (recent_frame <= frame_idx)
+            # temporal-position index in memory-stride units
+            tpos = jnp.clip((tpos + stride - 1) // stride, 1, cfg.num_recent)
             # only pointers from the tracking past, within the encoder window
             # (upstream only_obj_ptrs_in_the_past_for_eval)
             ptr_ok = ptr_valid & (jnp.abs(frame_idx - ptr_frame)
@@ -115,8 +119,7 @@ class SAM2VideoPredictor:
                 ptr_ok = ptr_ok & (ptr_frame <= frame_idx)
             conditioned = _apply(
                 SAM2Model.condition_features, pix, pos, cond_mem, cond_valid,
-                recent_mem, rec_ok, jnp.clip(tpos, 1, cfg.num_recent),
-                obj_ptrs, ptr_ok)
+                recent_mem, rec_ok, tpos, obj_ptrs, ptr_ok)
             coords = jnp.zeros((b, 1, 2), jnp.float32)
             labels = jnp.full((b, 1), -1, jnp.int32)
             out = _apply(SAM2Model.sam_heads, conditioned, s0, s1, coords,
@@ -124,24 +127,30 @@ class SAM2VideoPredictor:
             mem = _apply(SAM2Model.encode_memory, conditioned,
                          out["high_res_masks"][:, 0])
 
-            slot = frame_idx % cfg.num_recent
-            recent_mem = jax.lax.dynamic_update_index_in_dim(
+            # with memory_stride r, only every r-th frame enters the ring
+            do_push = ((frame_idx - cond_min) % stride) == 0
+            slot = (frame_idx // stride) % cfg.num_recent
+            new_mem = jax.lax.dynamic_update_index_in_dim(
                 recent_mem, mem, slot, axis=1)
-            recent_frame = recent_frame.at[:, slot].set(frame_idx)
-            recent_valid = recent_valid.at[:, slot].set(True)
+            recent_mem = jnp.where(do_push, new_mem, recent_mem)
+            recent_frame = jnp.where(
+                do_push, recent_frame.at[:, slot].set(frame_idx),
+                recent_frame)
+            recent_valid = jnp.where(
+                do_push, recent_valid.at[:, slot].set(True), recent_valid)
             pslot = frame_idx % cfg.max_obj_ptrs
             obj_ptrs = jax.lax.dynamic_update_index_in_dim(
                 obj_ptrs, out["obj_ptr"], pslot, axis=1)
             ptr_frame = ptr_frame.at[:, pslot].set(frame_idx)
             ptr_valid = ptr_valid.at[:, pslot].set(True)
 
-            # forward pass: stash memories of the first R post-cond frames
-            # to re-seed the ring for the reverse pass
+            # forward pass: stash memories of the first R (stride-aligned)
+            # post-cond frames to re-seed the ring for the reverse pass
             if not reverse:
-                sslot = jnp.clip(frame_idx - cond_min - 1, 0,
-                                 cfg.num_recent - 1)
-                write = (frame_idx - cond_min >= 1) & (
-                    frame_idx - cond_min <= cfg.num_recent)
+                rel = frame_idx - cond_min
+                sslot = jnp.clip(rel // stride - 1, 0, cfg.num_recent - 1)
+                write = (rel >= 1) & (rel <= cfg.num_recent * stride) & (
+                    rel % stride == 0)
                 new_seed = jax.lax.dynamic_update_index_in_dim(
                     seed_buf, mem, sslot, axis=0)
                 seed_buf = jnp.where(write, new_seed, seed_buf)
@@ -335,8 +344,9 @@ class SAM2VideoPredictor:
             banks[3] = jnp.full_like(banks[3], -10 ** 6)
             banks[4] = jnp.zeros_like(banks[4])
             if state.seed_buf is not None and state.seed_frames is not None:
+                stride = max(cfg.memory_stride, 1)
                 for i, fidx in enumerate(state.seed_frames):
-                    slot = int(fidx) % cfg.num_recent
+                    slot = (int(fidx) // stride) % cfg.num_recent
                     banks[2] = banks[2].at[:, slot].set(state.seed_buf[i])
                     banks[3] = banks[3].at[:, slot].set(int(fidx))
                     banks[4] = banks[4].at[:, slot].set(True)
@@ -359,8 +369,12 @@ class SAM2VideoPredictor:
         state.banks = tuple(carry[:8])
         if not reverse:
             state.seed_buf = carry[8]
-            n_seed = min(cfg.num_recent, n_valid)
-            state.seed_frames = frame_idxs[:n_seed]
+            stride = max(cfg.memory_stride, 1)
+            seed_frames = [cond_idx + stride * (i + 1)
+                           for i in range(cfg.num_recent)
+                           if cond_idx + stride * (i + 1) <
+                           state.num_frames]
+            state.seed_frames = np.asarray(seed_frames, np.int32)
 
         # fetch + resize outputs in chunks, yield per frame
         oh, ow = state.orig_hw
