@@ -296,6 +296,13 @@ def build_text_encoder(model_configs: dict) -> "TextEncoder | HashTextEncoder":
                                 "sentence-transformers/all-roberta-large-v1")
     lang_dim = model_configs.get("lang_token_dim", 1024)
     try:
+        import os
+
+        # hard-offline: without these, transformers probes the hub with
+        # minutes of retries in air-gapped environments even when
+        # local_files_only is set (PEFT adapter_config HEAD requests)
+        os.environ.setdefault("HF_HUB_OFFLINE", "1")
+        os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
         import torch  # noqa: F401
         from transformers import AutoModel, AutoTokenizer
         hf_model = AutoModel.from_pretrained(version, local_files_only=True)

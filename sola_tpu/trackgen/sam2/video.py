@@ -53,23 +53,21 @@ class InferenceState:
     seed_frames: Optional[np.ndarray] = None
 
 
-def _bucket_len(n: int, buckets=(8, 16, 32, 64, 128, 256, 512, 1024)) -> int:
-    for b in buckets:
-        if n <= b:
-            return b
-    return n
-
-
 class SAM2VideoPredictor:
     def __init__(self, model: SAM2Model, variables: dict,
                  obj_batch: int = 4, feature_dtype=jnp.bfloat16,
-                 encode_chunk: int = 4):
+                 encode_chunk: int = 4, scan_chunk: int = 16):
+        """``scan_chunk``: frames per compiled scan segment. Whole passes
+        run as chained fixed-length scan programs (banks carried across
+        segments) — bounds program size/compile time while keeping the
+        per-frame loop host-free."""
         self.model = model
         self.cfg: SAM2Config = model.cfg
         self.variables = variables
         self.obj_batch = obj_batch
         self.feature_dtype = feature_dtype
         self.encode_chunk = encode_chunk
+        self.scan_chunk = scan_chunk
 
         cfg = self.cfg
 
@@ -354,18 +352,27 @@ class SAM2VideoPredictor:
                              jnp.float32)
         carry = tuple(banks) + (seed_buf, jnp.asarray(cond_idx, jnp.int32))
 
-        # bucket the pass length to bound recompiles; padding repeats the
-        # last frame (its outputs are discarded)
+        # fixed-size scan segments: pad the pass to a multiple of scan_chunk
+        # (padding repeats the last frame; its outputs are discarded) and
+        # chain segments, carrying the banks — each segment is one compiled
+        # program of bounded size
         n_valid = len(frame_idxs)
-        n_pad = _bucket_len(n_valid)
+        chunk = self.scan_chunk
+        n_pad = ((n_valid + chunk - 1) // chunk) * chunk
         idxs = np.concatenate([
             frame_idxs,
             np.full(n_pad - n_valid, frame_idxs[-1], np.int32)])
         f = state.features
-        xs = (f["pix"][idxs], f["s0"][idxs], f["s1"][idxs],
-              jnp.asarray(idxs))
-        carry, (low_res, obj_ptrs) = self._scan_pass(carry, xs,
-                                                     reverse=reverse)
+        lo_parts, ptr_parts = [], []
+        for seg in range(0, n_pad, chunk):
+            seg_idx = idxs[seg:seg + chunk]
+            xs = (f["pix"][seg_idx], f["s0"][seg_idx], f["s1"][seg_idx],
+                  jnp.asarray(seg_idx))
+            carry, (lo, ptr) = self._scan_pass(carry, xs, reverse=reverse)
+            lo_parts.append(lo)
+            ptr_parts.append(ptr)
+        low_res = jnp.concatenate(lo_parts, axis=0)
+        obj_ptrs = jnp.concatenate(ptr_parts, axis=0)
         state.banks = tuple(carry[:8])
         if not reverse:
             state.seed_buf = carry[8]
