@@ -17,6 +17,7 @@ TPU-first differences:
 from __future__ import annotations
 
 import concurrent.futures as cf
+import json
 import os
 from typing import Iterator, Optional, Sequence
 
@@ -169,14 +170,12 @@ class AlignDataset:
                 assert rec.prompt_type == prompt_types[idx]
                 assert rec.sam2_anno_id == sam2_anno_ids[idx]
                 if preds[idx] > 0:
-                    import json
                     with open(rec.masklet_path, "r") as f:
                         info = json.load(f)
                     masklet = rle.decode_masklet(info["rle"])
                     merged = masklet if merged is None else np.logical_or(
                         merged, masklet).astype(np.uint8)
                 elif fallback_shape is None:
-                    import json
                     with open(rec.masklet_path, "r") as f:
                         info = json.load(f)
                     h, w = info["rle"][0]["size"]

@@ -63,7 +63,10 @@ def run_video(predictor, video_id: str, frames_dir: str, prompt_path: str,
               gt_masklets: Optional[dict] = None,
               output_dir_name: str = "grid_tracks",
               log: Callable[[str], None] = print,
-              state: Optional[object] = None) -> dict:
+              state: Optional[object] = None,
+              track_root: Optional[str] = None) -> dict:
+    """``output_root`` is <track_root>/<output_dir_name>/<dataset>/<type>;
+    pass ``track_root`` explicitly to skip the path derivation."""
     if frames_dir is not None:
         n_frames = len(os.listdir(frames_dir))
     elif state is not None:
@@ -75,8 +78,9 @@ def run_video(predictor, video_id: str, frames_dir: str, prompt_path: str,
     if state is None:
         state = predictor.init_state(None, video_path=frames_dir)
 
-    track_root = os.path.dirname(os.path.dirname(os.path.dirname(
-        output_root)))
+    if track_root is None:
+        track_root = os.path.dirname(os.path.dirname(os.path.dirname(
+            output_root)))
 
     def on_track(result: engine.TrackResult) -> None:
         metrics = None
