@@ -68,13 +68,14 @@ def torch_sam2_to_params(state: dict, cfg: SAM2Config) -> dict:
     b: dict = {}
 
     # ---- image encoder trunk (Hiera) ----
+    from sola_tpu.trackgen.sam2.hiera import hiera_segments
     trunk = {"patch_embed": _conv(state, "image_encoder.trunk.patch_embed.proj")}
     trunk["pos_embed"] = _np(state["image_encoder.trunk.pos_embed"])[0]\
         .transpose(1, 2, 0)
     trunk["pos_embed_window"] = _np(
         state["image_encoder.trunk.pos_embed_window"])[0].transpose(1, 2, 0)
-    n_blocks = sum(cfg.image_encoder.hiera.stages)
-    for i in range(n_blocks):
+
+    def block_params(i):
         t = f"image_encoder.trunk.blocks.{i}"
         blk = {
             "norm1": _ln(state, f"{t}.norm1"),
@@ -86,7 +87,20 @@ def torch_sam2_to_params(state: dict, cfg: SAM2Config) -> dict:
         }
         if f"{t}.proj.weight" in state:
             blk["proj"] = _dense(state, f"{t}.proj")
-        trunk[f"block_{i}"] = blk
+        return blk
+
+    def stack_tree(trees):
+        import jax
+        return jax.tree_util.tree_map(lambda *xs: np.stack(xs, axis=0),
+                                      *trees)
+
+    for seg in hiera_segments(cfg.image_encoder.hiera):
+        if seg[0] == "single":
+            trunk[f"block_{seg[1]}"] = block_params(seg[1])
+        else:
+            _, start, n, _ = seg
+            trunk[f"run_{start}"] = {"block": stack_tree(
+                [block_params(start + k) for k in range(n)])}
     # ---- FPN neck: upstream convs are coarsest-first; ours finest-first ----
     n_levels = 4
     neck = {}
@@ -248,14 +262,15 @@ def params_to_torch_sam2(variables: dict, cfg: SAM2Config) -> dict:
         for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
             put_dense(f"{name}.{proj}", node[proj])
 
+    from sola_tpu.trackgen.sam2.hiera import hiera_segments
     trunk = p["image_encoder"]["trunk"]
     put_conv("image_encoder.trunk.patch_embed.proj", trunk["patch_embed"])
     out["image_encoder.trunk.pos_embed"] = np.asarray(
         trunk["pos_embed"]).transpose(2, 0, 1)[None]
     out["image_encoder.trunk.pos_embed_window"] = np.asarray(
         trunk["pos_embed_window"]).transpose(2, 0, 1)[None]
-    for i in range(sum(cfg.image_encoder.hiera.stages)):
-        blk = trunk[f"block_{i}"]
+
+    def put_block(i, blk):
         t = f"image_encoder.trunk.blocks.{i}"
         put_ln(f"{t}.norm1", blk["norm1"])
         put_ln(f"{t}.norm2", blk["norm2"])
@@ -265,6 +280,18 @@ def params_to_torch_sam2(variables: dict, cfg: SAM2Config) -> dict:
         put_dense(f"{t}.mlp.layers.1", blk["mlp_1"])
         if "proj" in blk:
             put_dense(f"{t}.proj", blk["proj"])
+
+    for seg in hiera_segments(cfg.image_encoder.hiera):
+        if seg[0] == "single":
+            put_block(seg[1], trunk[f"block_{seg[1]}"])
+        else:
+            import jax
+            _, start, n, _ = seg
+            stacked = trunk[f"run_{start}"]["block"]
+            for k in range(n):
+                blk = jax.tree_util.tree_map(lambda x: np.asarray(x)[k],
+                                             stacked)
+                put_block(start + k, blk)
     for i in range(4):
         put_conv(f"image_encoder.neck.convs.{i}.conv",
                  p["image_encoder"]["neck"][f"conv_{3 - i}"])

@@ -140,8 +140,72 @@ class MultiScaleBlock(nn.Module):
         return x + y
 
 
+def hiera_segments(cfg: HieraConfig) -> list[tuple]:
+    """Partition blocks into compile units: ("single", i, spec) for q-pool /
+    global blocks, ("run", start, n, spec) for runs of >=2 identical
+    windowed blocks (scanned over stacked params — shrinks the XLA graph of
+    the 48-block Hiera-L ~5x, which is the difference between minutes and
+    an hour of compile through a slow compiler path).
+
+    spec = (dim, dim_out, heads, window, q_pool).
+    """
+    stage_ends = cfg.stage_ends
+    q_pool_blocks = set(cfg.q_pool_blocks)
+    total = sum(cfg.stages)
+    specs = []
+    dim = cfg.embed_dim
+    heads = cfg.num_heads
+    stage = 0
+    for i in range(total):
+        q_pool = i in q_pool_blocks
+        dim_out = dim
+        if q_pool:
+            dim_out = int(dim * cfg.dim_mul)
+            heads = int(heads * cfg.head_mul)
+            stage += 1
+        window = cfg.window_spec[stage]
+        if i in cfg.global_att_blocks:
+            window = 0
+        specs.append((dim, dim_out, heads, window, q_pool))
+        dim = dim_out
+    segments: list[tuple] = []
+    i = 0
+    while i < total:
+        spec = specs[i]
+        if spec[4] or spec[3] == 0:  # q_pool or global: always single
+            segments.append(("single", i, spec))
+            i += 1
+            continue
+        j = i
+        while j + 1 < total and specs[j + 1] == spec:
+            j += 1
+        if j > i:
+            segments.append(("run", i, j - i + 1, spec))
+        else:
+            segments.append(("single", i, spec))
+        i = j + 1
+    return segments
+
+
+class BlockRunBody(nn.Module):
+    """One block of a scanned run (carry-through signature for nn.scan)."""
+    dim: int
+    num_heads: int
+    mlp_ratio: float
+    window_size: int
+
+    @nn.compact
+    def __call__(self, carry, _):
+        out = MultiScaleBlock(
+            dim=self.dim, dim_out=self.dim, num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio, q_pool=False,
+            window_size=self.window_size, name="block")(carry)
+        return out, None
+
+
 class Hiera(nn.Module):
     cfg: HieraConfig
+    scan_runs: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array) -> list[jax.Array]:
@@ -166,28 +230,40 @@ class Hiera(nn.Module):
         pos = pos + jnp.tile(win, (tiles_h, tiles_w, 1))
         x = x + pos[None]
 
-        stage_ends = cfg.stage_ends
-        q_pool_blocks = set(cfg.q_pool_blocks)
-        outputs = []
-        dim = cfg.embed_dim
-        heads = cfg.num_heads
-        stage = 0
-        total_blocks = sum(cfg.stages)
-        for i in range(total_blocks):
-            q_pool = i in q_pool_blocks
-            dim_out = dim
-            if q_pool:
-                dim_out = int(dim * cfg.dim_mul)
-                heads = int(heads * cfg.head_mul)
-                stage += 1
-            window = cfg.window_spec[stage]
-            if i in cfg.global_att_blocks:
-                window = 0
-            x = MultiScaleBlock(
-                dim=dim, dim_out=dim_out, num_heads=heads,
-                mlp_ratio=cfg.mlp_ratio, q_pool=q_pool,
-                window_size=window, name=f"block_{i}")(x)
-            dim = dim_out
-            if i in stage_ends:
-                outputs.append(x)
+        stage_end_set = set(cfg.stage_ends)
+        outputs: list = [None] * len(cfg.stages)
+        segments = hiera_segments(cfg)
+
+        def capture(i, x):
+            if i in stage_end_set:
+                outputs[cfg.stage_ends.index(i)] = x
+
+        for seg in segments:
+            if seg[0] == "single" or not self.scan_runs:
+                blocks = ([seg[1]] if seg[0] == "single"
+                          else range(seg[1], seg[1] + seg[2]))
+                spec = seg[2] if seg[0] == "single" else seg[3]
+                dim, dim_out, heads, window, q_pool = spec
+                for i in blocks:
+                    x = MultiScaleBlock(
+                        dim=dim, dim_out=dim_out, num_heads=heads,
+                        mlp_ratio=cfg.mlp_ratio, q_pool=q_pool,
+                        window_size=window, name=f"block_{i}")(x)
+                    capture(i, x)
+            else:
+                _, start, n, spec = seg
+                dim, _, heads, window, _ = spec
+                # a run never crosses a stage end except possibly at its
+                # last block, so capturing after the scan is sufficient
+                assert all(start + k not in stage_end_set
+                           for k in range(n - 1)), "stage end inside run"
+                Run = nn.scan(
+                    BlockRunBody,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True},
+                    length=n, in_axes=nn.broadcast)
+                x, _ = Run(dim=dim, num_heads=heads,
+                           mlp_ratio=cfg.mlp_ratio, window_size=window,
+                           name=f"run_{start}")(x, None)
+                capture(start + n - 1, x)
         return outputs
