@@ -179,11 +179,10 @@ def torch_sam2_to_params(state: dict, cfg: SAM2Config) -> dict:
     p["conv_s0"] = _conv(state, "sam_mask_decoder.conv_s0")
     p["conv_s1"] = _conv(state, "sam_mask_decoder.conv_s1")
 
-    # ---- memory attention ----
-    ma: dict = {"norm": _ln(state, "memory_attention.norm")}
-    for i in range(cfg.memory_attention.num_layers):
+    # ---- memory attention (scanned: per-layer params stacked) ----
+    def mem_layer(i):
         t = f"memory_attention.layers.{i}"
-        ma[f"layer_{i}"] = {
+        return {
             "self_attn": _attn(state, f"{t}.self_attn"),
             "cross_attn": _attn(state, f"{t}.cross_attn_image"),
             "norm1": _ln(state, f"{t}.norm1"),
@@ -192,7 +191,15 @@ def torch_sam2_to_params(state: dict, cfg: SAM2Config) -> dict:
             "linear1": _dense(state, f"{t}.linear1"),
             "linear2": _dense(state, f"{t}.linear2"),
         }
-    p["memory_attention"] = ma
+
+    import jax as _jax
+    stacked_layers = _jax.tree_util.tree_map(
+        lambda *xs: np.stack(xs, axis=0),
+        *[mem_layer(i) for i in range(cfg.memory_attention.num_layers)])
+    p["memory_attention"] = {
+        "norm": _ln(state, "memory_attention.norm"),
+        "layers": {"layer": stacked_layers},
+    }
 
     # ---- memory encoder ----
     n_ds = cfg.memory_encoder.mask_downsample_layers
@@ -351,10 +358,12 @@ def params_to_torch_sam2(variables: dict, cfg: SAM2Config) -> dict:
     put_conv("sam_mask_decoder.conv_s0", p["conv_s0"])
     put_conv("sam_mask_decoder.conv_s1", p["conv_s1"])
 
+    import jax as _jax
     ma = p["memory_attention"]
     put_ln("memory_attention.norm", ma["norm"])
+    stacked = ma["layers"]["layer"]
     for i in range(cfg.memory_attention.num_layers):
-        layer = ma[f"layer_{i}"]
+        layer = _jax.tree_util.tree_map(lambda x: np.asarray(x)[i], stacked)
         t = f"memory_attention.layers.{i}"
         put_attn(f"{t}.self_attn", layer["self_attn"])
         put_attn(f"{t}.cross_attn_image", layer["cross_attn"])

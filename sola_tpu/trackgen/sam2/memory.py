@@ -160,8 +160,24 @@ class MemoryAttentionLayer(nn.Module):
         return tgt + t2
 
 
+class _MemoryLayerBody(nn.Module):
+    """Scan body: one memory-attention layer with broadcast side inputs."""
+    cfg: MemoryAttentionConfig
+    num_obj_ptr_tokens: int
+    has_mask: bool
+
+    @nn.compact
+    def __call__(self, carry, xs):
+        memory, curr_pos, memory_pos, key_mask = xs
+        out = MemoryAttentionLayer(self.cfg, name="layer")(
+            carry, memory, curr_pos, memory_pos, self.num_obj_ptr_tokens,
+            key_mask=key_mask if self.has_mask else None)
+        return out, None
+
+
 class MemoryAttention(nn.Module):
     cfg: MemoryAttentionConfig
+    scan_layers: bool = True
 
     @nn.compact
     def __call__(self, curr, curr_pos, memory, memory_pos,
@@ -171,12 +187,28 @@ class MemoryAttention(nn.Module):
         pos_enc_at_input=True: query PE added once at input. ``key_mask``
         (B, Lm) masks invalid static memory slots out of the cross-attention
         (functionally identical to upstream's variable-length concat).
+        The identical layers scan over stacked params (graph-size control —
+        this module sits inside the per-frame tracking scan).
         """
         x = curr + curr_pos
-        for i in range(self.cfg.num_layers):
-            x = MemoryAttentionLayer(self.cfg, name=f"layer_{i}")(
-                x, memory, curr_pos, memory_pos, num_obj_ptr_tokens,
-                key_mask=key_mask)
+        if self.scan_layers:
+            Run = nn.scan(
+                _MemoryLayerBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=self.cfg.num_layers, in_axes=nn.broadcast)
+            mask_in = key_mask if key_mask is not None else \
+                jnp.ones(memory.shape[:2], bool)
+            x, _ = Run(cfg=self.cfg,
+                       num_obj_ptr_tokens=num_obj_ptr_tokens,
+                       has_mask=key_mask is not None,
+                       name="layers")(
+                           x, (memory, curr_pos, memory_pos, mask_in))
+        else:
+            for i in range(self.cfg.num_layers):
+                x = MemoryAttentionLayer(self.cfg, name=f"layer_{i}")(
+                    x, memory, curr_pos, memory_pos, num_obj_ptr_tokens,
+                    key_mask=key_mask)
         return nn.LayerNorm(name="norm")(x)
 
 
