@@ -73,6 +73,22 @@ def get_prompt_masks(masklet: np.ndarray,
     return seeds
 
 
+def get_area_threshs_from_sample(prompt_mask_infos: dict, n_area_bins: int,
+                                 n_prompts: int) -> list[float]:
+    """Quantile area-ratio thresholds from sampled prompts
+    (seg_utils.py:163-173; unused by the reference pipeline but part of its
+    API surface): sort all area ratios descending, take every
+    (n_prompts // n_area_bins)-th as a bin edge, append 0.0."""
+    step = max(n_prompts // n_area_bins, 1)
+    ratios = [info["area_ratio"]
+              for frame_infos in prompt_mask_infos.values()
+              for info in frame_infos]
+    ratios = sorted(ratios, reverse=True)
+    threshs = ratios[step - 1::step]
+    threshs.append(0.0)
+    return threshs
+
+
 def metrics_vs_gt(masklet_small: np.ndarray, gt_masklets: dict) -> dict:
     """Per-GT precision/recall/IoU dicts in the masklet-JSON schema
     (generate_tokens_grid.py:252-264)."""
