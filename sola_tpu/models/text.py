@@ -285,6 +285,35 @@ class HashTextEncoder:
         return hidden, jnp.asarray(mask, bool), pooled
 
 
+class CachingTextEncoder:
+    """Memoizing wrapper for a frozen text encoder.
+
+    The reference re-runs RoBERTa on every batch every epoch
+    (train.py:80-91) even though the encoder is frozen; language embeddings
+    per expression never change, so steady-state epochs here are pure cache
+    hits (host numpy storage, keyed by the batch's expression tuple).
+    """
+
+    def __init__(self, inner, max_entries: int = 100_000):
+        self.inner = inner
+        self.max_entries = max_entries
+        self._cache: dict = {}
+
+    def encode_batch(self, texts: list[str]):
+        import jax.numpy as jnp
+        key = tuple(texts)
+        hit = self._cache.get(key)
+        if hit is not None:
+            hidden, mask, pooled = hit
+            return (jnp.asarray(hidden), jnp.asarray(mask),
+                    jnp.asarray(pooled))
+        hidden, mask, pooled = self.inner.encode_batch(texts)
+        if len(self._cache) < self.max_entries:
+            self._cache[key] = (np.asarray(hidden), np.asarray(mask),
+                                np.asarray(pooled))
+        return hidden, mask, pooled
+
+
 def build_text_encoder(model_configs: dict) -> "TextEncoder | HashTextEncoder":
     """Build the configured text encoder.
 

@@ -158,6 +158,9 @@ def train(configs: dict, max_steps_per_epoch: Optional[int] = None,
     cfg = SelectionConfig.from_dict(configs["model"])
     model = SelectionModel(cfg)
     text_encoder = text_encoder or build_text_encoder(configs["model"])
+    from sola_tpu.models.text import CachingTextEncoder
+    if not isinstance(text_encoder, CachingTextEncoder):
+        text_encoder = CachingTextEncoder(text_encoder)
 
     optimizer = state_lib.make_optimizer(
         lr=float(train_cfg["lr"]),

@@ -86,3 +86,24 @@ def test_random_init_text_encoder():
     assert hidden.shape[0] == 1
     assert pooled.shape[1] == 1
     assert np.isfinite(np.asarray(hidden)).all()
+
+
+def test_caching_text_encoder():
+    from sola_tpu.models.text import CachingTextEncoder
+    calls = []
+
+    class Counting:
+        def __init__(self):
+            self.inner = T.HashTextEncoder(hidden_size=16, vocab_size=64)
+
+        def encode_batch(self, texts):
+            calls.append(tuple(texts))
+            return self.inner.encode_batch(texts)
+
+    enc = CachingTextEncoder(Counting())
+    a1 = enc.encode_batch(["the cat", "a dog"])
+    a2 = enc.encode_batch(["the cat", "a dog"])  # hit
+    enc.encode_batch(["other"])
+    assert len(calls) == 2
+    np.testing.assert_array_equal(np.asarray(a1[0]), np.asarray(a2[0]))
+    np.testing.assert_array_equal(np.asarray(a1[2]), np.asarray(a2[2]))
