@@ -323,8 +323,9 @@ class GroundingModel:
                                       self.cfg.text.pad_token_id)
         self.tokenizer = tokenizer
         self.max_text_len = max_text_len
+        # variables as explicit jit args (no closure-baked constants)
         self._forward = jax.jit(
-            lambda img, ids, mask: model.apply(variables, img, ids, mask))
+            lambda v, img, ids, mask: model.apply(v, img, ids, mask))
 
     def get_boxes(self, image: np.ndarray, text: str,
                   box_threshold: float = 0.2,
@@ -339,7 +340,8 @@ class GroundingModel:
         std = jnp.asarray([0.229, 0.224, 0.225])
         img = (img - mean) / std
         ids, mask = self.tokenizer([text], max_len=self.max_text_len)
-        out = self._forward(img[None], jnp.asarray(ids), jnp.asarray(mask))
+        out = self._forward(self.variables, img[None], jnp.asarray(ids),
+                            jnp.asarray(mask))
         logits = jax.nn.sigmoid(out["pred_logits"][0])
         logits = np.asarray(jnp.where(jnp.isfinite(logits), logits, 0.0))
         boxes = np.asarray(out["pred_boxes"][0])

@@ -28,17 +28,21 @@ class SAM2ImagePredictor:
         self._feats = None
         self._orig_hw = None
 
-        self._encode = jax.jit(lambda img: model.apply(
-            variables, img, method=SAM2Model.encode_image))
+        # variables are explicit jit args (closure capture would bake the
+        # parameter tree into the program as constants)
+        self._encode = jax.jit(lambda v, img: model.apply(
+            v, img, method=SAM2Model.encode_image))
 
-        def _predict(pix, s0, s1, coords, labels, multimask):
-            return model.apply(variables, pix, s0, s1, coords, labels, None,
+        def _predict(v, pix, s0, s1, coords, labels, multimask):
+            return model.apply(v, pix, s0, s1, coords, labels, None,
                                multimask, method=SAM2Model.sam_heads)
 
         self._predict_single = jax.jit(
-            lambda pix, s0, s1, c, l: _predict(pix, s0, s1, c, l, False))
+            lambda v, pix, s0, s1, c, l: _predict(v, pix, s0, s1, c, l,
+                                                  False))
         self._predict_multi = jax.jit(
-            lambda pix, s0, s1, c, l: _predict(pix, s0, s1, c, l, True))
+            lambda v, pix, s0, s1, c, l: _predict(v, pix, s0, s1, c, l,
+                                                  True))
 
     def set_image(self, image: np.ndarray) -> None:
         """(H, W, 3) uint8."""
@@ -47,7 +51,7 @@ class SAM2ImagePredictor:
         img = jax.image.resize(jnp.asarray(image, jnp.float32), (s, s, 3),
                                method="linear")
         img = normalize_image(img.astype(jnp.uint8))
-        self._feats = self._encode(img[None])
+        self._feats = self._encode(self.variables, img[None])
 
     def _scale_coords(self, coords: np.ndarray) -> np.ndarray:
         h, w = self._orig_hw
@@ -95,7 +99,8 @@ class SAM2ImagePredictor:
         s0 = jnp.broadcast_to(f["s0"], (n,) + f["s0"].shape[1:])
         s1 = jnp.broadcast_to(f["s1"], (n,) + f["s1"].shape[1:])
         fn = self._predict_multi if multimask_output else self._predict_single
-        out = fn(pix, s0, s1, jnp.asarray(coords), jnp.asarray(labels))
+        out = fn(self.variables, pix, s0, s1, jnp.asarray(coords),
+                 jnp.asarray(labels))
         high = _resize_masks(out["high_res_masks"], self._orig_hw)
         masks = np.asarray(high > 0.0)
         return masks, np.asarray(out["ious"]), np.asarray(

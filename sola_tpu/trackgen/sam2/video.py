@@ -71,19 +71,25 @@ class SAM2VideoPredictor:
 
         cfg = self.cfg
 
-        def _apply(method, *args):
-            return model.apply(variables, *args, method=method)
+        # IMPORTANT: variables are explicit jit arguments everywhere —
+        # closing over the ~GB parameter tree would bake it into the
+        # serialized program as constants (breaking compile caches and
+        # oversizing remote-compile requests).
+        def _japply(v, method, *args):
+            return model.apply(v, *args, method=method)
 
         self._encode_image = jax.jit(
-            lambda img: _apply(SAM2Model.encode_image, img))
+            lambda v, img: _japply(v, SAM2Model.encode_image, img))
         self._mask_as_output = jax.jit(
-            lambda pix, s0, s1, m: _apply(SAM2Model.mask_as_output, pix, s0,
-                                          s1, m))
+            lambda v, pix, s0, s1, m: _japply(
+                v, SAM2Model.mask_as_output, pix, s0, s1, m))
         self._encode_memory = jax.jit(
-            lambda pix, m: _apply(SAM2Model.encode_memory, pix, m))
+            lambda v, pix, m: _japply(v, SAM2Model.encode_memory, pix, m))
 
         # ---- the scan body: one tracked frame ----
-        def step(carry, inputs, reverse: bool):
+        def step(v, carry, inputs, reverse: bool):
+            def _apply(method, *args):
+                return model.apply(v, *args, method=method)
             (cond_mem, cond_valid, recent_mem, recent_frame, recent_valid,
              obj_ptrs, ptr_frame, ptr_valid, seed_buf, cond_min) = carry
             pix, s0, s1, frame_idx = inputs
@@ -160,8 +166,9 @@ class SAM2VideoPredictor:
                            out["obj_ptr"])
 
         @partial(jax.jit, static_argnames=("reverse",))
-        def scan_pass(carry, xs, reverse):
-            return jax.lax.scan(partial(step, reverse=reverse), carry, xs)
+        def scan_pass(v, carry, xs, reverse):
+            return jax.lax.scan(
+                lambda c, x: step(v, c, x, reverse), carry, xs)
 
         self._scan_pass = scan_pass
         self._pos_const = None  # set per init_state
@@ -196,7 +203,7 @@ class SAM2VideoPredictor:
                     jnp.asarray(f, jnp.float32), (s, s, 3),
                     method="linear"), jnp.float32).astype(jnp.uint8))
                 for f in batch], axis=0)
-            f = self._encode_image(imgs)
+            f = self._encode_image(self.variables, imgs)
             pix_list.append(f["pix"].astype(self.feature_dtype))
             s0_list.append(f["s0"].astype(self.feature_dtype))
             s1_list.append(f["s1"].astype(self.feature_dtype))
@@ -290,8 +297,10 @@ class SAM2VideoPredictor:
                 sorted(state.prompts.keys())[:cfg.max_cond_frames]):
             pix, s0, s1 = self._frame_feats(state, frame_idx)
             masks = self._prompt_masks(state, frame_idx)
-            out = self._mask_as_output(pix, s0, s1, jnp.asarray(masks))
-            mem = self._encode_memory(pix, out["high_res_masks"][:, 0])
+            out = self._mask_as_output(self.variables, pix, s0, s1,
+                                       jnp.asarray(masks))
+            mem = self._encode_memory(self.variables, pix,
+                                      out["high_res_masks"][:, 0])
             banks[0] = banks[0].at[:, slot].set(mem)
             banks[1] = banks[1].at[:, slot].set(True)
             pslot = frame_idx % cfg.max_obj_ptrs
@@ -368,7 +377,8 @@ class SAM2VideoPredictor:
             seg_idx = idxs[seg:seg + chunk]
             xs = (f["pix"][seg_idx], f["s0"][seg_idx], f["s1"][seg_idx],
                   jnp.asarray(seg_idx))
-            carry, (lo, ptr) = self._scan_pass(carry, xs, reverse=reverse)
+            carry, (lo, ptr) = self._scan_pass(self.variables, carry,
+                                               xs, reverse=reverse)
             lo_parts.append(lo)
             ptr_parts.append(ptr)
         low_res = jnp.concatenate(lo_parts, axis=0)
