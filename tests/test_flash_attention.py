@@ -76,3 +76,16 @@ def test_selection_model_pallas_path(rng):
     out_p, _ = model_p.apply(variables, obj, lang)
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_d),
                                atol=5e-4, rtol=1e-4)
+
+
+def test_sam2_memory_shape(rng):
+    """SAM2 memory-attention shape: 1 head, head_dim 256, long keys."""
+    b, h, lq, lk, d = 1, 1, 64, 600, 256
+    q = jnp.asarray(rng.standard_normal((b, h, lq, d), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, lk, d), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, lk, d), dtype=np.float32))
+    mask = np.ones((b, lk), bool)
+    mask[0, 500:] = False
+    out = fused_attention(q, k, v, key_mask=jnp.asarray(mask))
+    ref = dense_reference(q, k, v, jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
