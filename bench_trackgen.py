@@ -28,7 +28,11 @@ def main(n_frames: int = 32, obj_batch: int = 4) -> None:
     frames = [rng.integers(0, 255, (480, 854, 3), dtype=np.uint8)
               for _ in range(n_frames)]
 
-    # frame encoding (one-time per video)
+    # frame encoding: first video includes compile; second is steady state
+    t0 = time.perf_counter()
+    state = pred.init_state(frames)
+    jax.block_until_ready(state.features["pix"])
+    t_encode_cold = time.perf_counter() - t0
     t0 = time.perf_counter()
     state = pred.init_state(frames)
     jax.block_until_ready(state.features["pix"])
@@ -54,10 +58,11 @@ def main(n_frames: int = 32, obj_batch: int = 4) -> None:
 
     print(json.dumps({
         "encode_fps": round(n_frames / t_encode, 2),
+        "encode_cold_s": round(t_encode_cold, 1),
         "propagate_fps": round(n / t_prop, 2),
+        "object_frames_per_s": round(n * obj_batch / t_prop, 2),
         "frames": n_frames,
         "obj_batch": obj_batch,
-        "note": "first-call encode includes compile; propagate is steady-state",
     }))
 
 
