@@ -47,7 +47,10 @@ def axial_rope_freqs(head_dim: int, end_x: int, end_y: int,
 def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array,
                repeat_to: Optional[int] = None) -> jax.Array:
     """Rotate (B, H, L, D) by the (L0, D//2) tables; if ``repeat_to`` is
-    given the tables tile along L (rope_k_repeat for multi-frame memories)."""
+    given the tables tile along L (rope_k_repeat for multi-frame memories).
+    Tables are cast to the activation dtype (keeps bf16 paths bf16)."""
+    cos = cos.astype(x.dtype)
+    sin = sin.astype(x.dtype)
     l = x.shape[-2]
     if cos.shape[0] != l:
         reps = l // cos.shape[0]

@@ -238,7 +238,7 @@ class SAM2Model(nn.Module):
         cfg = self.cfg
         m = jax.nn.sigmoid(high_res_masks)[..., None]
         m = m * cfg.sigmoid_scale_for_mem_enc + cfg.sigmoid_bias_for_mem_enc
-        return self.memory_encoder(pix_feat, m)
+        return self.memory_encoder(pix_feat, m.astype(pix_feat.dtype))
 
     def condition_features(self, pix_feat, pos, cond_mem, cond_valid,
                            recent_mem, recent_valid, recent_tpos,
@@ -267,8 +267,8 @@ class SAM2Model(nn.Module):
                    jnp.any(recent_valid, axis=1))  # (B,)
 
         from sola_tpu.trackgen.sam2.common import sine_position_encoding
-        spatial_pos = sine_position_encoding(h, w, mem_dim).reshape(1, hw,
-                                                                    mem_dim)
+        spatial_pos = sine_position_encoding(h, w, mem_dim).astype(
+            cond_mem.dtype).reshape(1, hw, mem_dim)
 
         # conditioning slots: t_pos = 0 -> tpos index num_maskmem - 1
         cond_tok = cond_mem.reshape(b, -1, hw, mem_dim)

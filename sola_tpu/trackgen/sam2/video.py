@@ -56,14 +56,29 @@ class InferenceState:
 class SAM2VideoPredictor:
     def __init__(self, model: SAM2Model, variables: dict,
                  obj_batch: int = 4, feature_dtype=jnp.bfloat16,
-                 encode_chunk: int = 4, scan_chunk: int = 16):
+                 encode_chunk: int = 4, scan_chunk: int = 16,
+                 compute_dtype=jnp.bfloat16):
         """``scan_chunk``: frames per compiled scan segment. Whole passes
         run as chained fixed-length scan programs (banks carried across
         segments) — bounds program size/compile time while keeping the
-        per-frame loop host-free."""
+        per-frame loop host-free.
+
+        ``compute_dtype=bfloat16`` casts params + activations for the
+        tracking compute, matching the reference's process-global autocast
+        bf16 for SAM2 (generate_tokens_grid.py:84-88); softmax statistics
+        stay fp32 via preferred_element_type inside the attention modules.
+        """
         self.model = model
         self.cfg: SAM2Config = model.cfg
         self.variables = variables
+        self.compute_dtype = compute_dtype
+        if compute_dtype == jnp.float32:
+            self.compute_variables = variables
+        else:
+            self.compute_variables = jax.tree_util.tree_map(
+                lambda x: x.astype(compute_dtype)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                variables)
         self.obj_batch = obj_batch
         self.feature_dtype = feature_dtype
         self.encode_chunk = encode_chunk
@@ -86,6 +101,8 @@ class SAM2VideoPredictor:
         self._encode_memory = jax.jit(
             lambda v, pix, m: _japply(v, SAM2Model.encode_memory, pix, m))
 
+        cdt = self.compute_dtype
+
         # ---- the scan body: one tracked frame ----
         def step(v, carry, inputs, reverse: bool):
             def _apply(method, *args):
@@ -94,14 +111,14 @@ class SAM2VideoPredictor:
              obj_ptrs, ptr_frame, ptr_valid, seed_buf, cond_min) = carry
             pix, s0, s1, frame_idx = inputs
             b = self.obj_batch
-            pix = jnp.broadcast_to(pix.astype(jnp.float32),
-                                   (b,) + pix.shape)
-            s0 = jnp.broadcast_to(s0.astype(jnp.float32), (b,) + s0.shape)
-            s1 = jnp.broadcast_to(s1.astype(jnp.float32), (b,) + s1.shape)
+            pix = jnp.broadcast_to(pix.astype(cdt), (b,) + pix.shape)
+            s0 = jnp.broadcast_to(s0.astype(cdt), (b,) + s0.shape)
+            s1 = jnp.broadcast_to(s1.astype(cdt), (b,) + s1.shape)
             from sola_tpu.trackgen.sam2.common import sine_position_encoding
             pos = jnp.broadcast_to(
                 sine_position_encoding(pix.shape[1], pix.shape[2],
-                                       pix.shape[3])[None], pix.shape)
+                                       pix.shape[3]).astype(cdt)[None],
+                pix.shape)
 
             stride = max(cfg.memory_stride, 1)
             tpos = jnp.abs(frame_idx - recent_frame)
@@ -124,12 +141,13 @@ class SAM2VideoPredictor:
             conditioned = _apply(
                 SAM2Model.condition_features, pix, pos, cond_mem, cond_valid,
                 recent_mem, rec_ok, tpos, obj_ptrs, ptr_ok)
-            coords = jnp.zeros((b, 1, 2), jnp.float32)
+            coords = jnp.zeros((b, 1, 2), cdt)
             labels = jnp.full((b, 1), -1, jnp.int32)
             out = _apply(SAM2Model.sam_heads, conditioned, s0, s1, coords,
                          labels, None, cfg.multimask_output_for_tracking)
             mem = _apply(SAM2Model.encode_memory, conditioned,
-                         out["high_res_masks"][:, 0])
+                         out["high_res_masks"][:, 0]).astype(cdt)
+            obj_ptr_new = out["obj_ptr"].astype(cdt)
 
             # with memory_stride r, only every r-th frame enters the ring
             do_push = ((frame_idx - cond_min) % stride) == 0
@@ -144,7 +162,7 @@ class SAM2VideoPredictor:
                 do_push, recent_valid.at[:, slot].set(True), recent_valid)
             pslot = frame_idx % cfg.max_obj_ptrs
             obj_ptrs = jax.lax.dynamic_update_index_in_dim(
-                obj_ptrs, out["obj_ptr"], pslot, axis=1)
+                obj_ptrs, obj_ptr_new, pslot, axis=1)
             ptr_frame = ptr_frame.at[:, pslot].set(frame_idx)
             ptr_valid = ptr_valid.at[:, pslot].set(True)
 
@@ -203,7 +221,7 @@ class SAM2VideoPredictor:
                     jnp.asarray(f, jnp.float32), (s, s, 3),
                     method="linear"), jnp.float32).astype(jnp.uint8))
                 for f in batch], axis=0)
-            f = self._encode_image(self.variables, imgs)
+            f = self._encode_image(self.compute_variables, imgs)
             pix_list.append(f["pix"].astype(self.feature_dtype))
             s0_list.append(f["s0"].astype(self.feature_dtype))
             s1_list.append(f["s1"].astype(self.feature_dtype))
@@ -255,16 +273,14 @@ class SAM2VideoPredictor:
         cfg = self.cfg
         b = self.obj_batch
         h = cfg.feat_hw
+        cdt = self.compute_dtype
         return (
-            jnp.zeros((b, cfg.max_cond_frames, h, h, cfg.mem_dim),
-                      jnp.float32),                               # cond_mem
+            jnp.zeros((b, cfg.max_cond_frames, h, h, cfg.mem_dim), cdt),
             jnp.zeros((b, cfg.max_cond_frames), bool),            # cond_valid
-            jnp.zeros((b, cfg.num_recent, h, h, cfg.mem_dim),
-                      jnp.float32),                               # recent_mem
+            jnp.zeros((b, cfg.num_recent, h, h, cfg.mem_dim), cdt),
             jnp.full((b, cfg.num_recent), -10 ** 6, jnp.int32),   # recent_frame
             jnp.zeros((b, cfg.num_recent), bool),                 # recent_valid
-            jnp.zeros((b, cfg.max_obj_ptrs, cfg.d_model),
-                      jnp.float32),                               # obj_ptrs
+            jnp.zeros((b, cfg.max_obj_ptrs, cfg.d_model), cdt),   # obj_ptrs
             jnp.full((b, cfg.max_obj_ptrs), -10 ** 6, jnp.int32),  # ptr_frame
             jnp.zeros((b, cfg.max_obj_ptrs), bool),               # ptr_valid
         )
@@ -274,7 +290,7 @@ class SAM2VideoPredictor:
         f = state.features
 
         def bc(x):
-            y = x[frame_idx].astype(jnp.float32)
+            y = x[frame_idx].astype(self.compute_dtype)
             return jnp.broadcast_to(y, (b,) + y.shape)
 
         return bc(f["pix"]), bc(f["s0"]), bc(f["s1"])
@@ -297,14 +313,16 @@ class SAM2VideoPredictor:
                 sorted(state.prompts.keys())[:cfg.max_cond_frames]):
             pix, s0, s1 = self._frame_feats(state, frame_idx)
             masks = self._prompt_masks(state, frame_idx)
-            out = self._mask_as_output(self.variables, pix, s0, s1,
+            out = self._mask_as_output(self.compute_variables, pix, s0, s1,
                                        jnp.asarray(masks))
-            mem = self._encode_memory(self.variables, pix,
+            mem = self._encode_memory(self.compute_variables, pix,
                                       out["high_res_masks"][:, 0])
-            banks[0] = banks[0].at[:, slot].set(mem)
+            banks[0] = banks[0].at[:, slot].set(
+                mem.astype(self.compute_dtype))
             banks[1] = banks[1].at[:, slot].set(True)
             pslot = frame_idx % cfg.max_obj_ptrs
-            banks[5] = banks[5].at[:, pslot].set(out["obj_ptr"])
+            banks[5] = banks[5].at[:, pslot].set(
+                out["obj_ptr"].astype(self.compute_dtype))
             banks[6] = banks[6].at[:, pslot].set(frame_idx)
             banks[7] = banks[7].at[:, pslot].set(True)
             state.output_tokens[frame_idx] = out["obj_ptr"]
@@ -358,7 +376,7 @@ class SAM2VideoPredictor:
                     banks[3] = banks[3].at[:, slot].set(int(fidx))
                     banks[4] = banks[4].at[:, slot].set(True)
         seed_buf = jnp.zeros((cfg.num_recent, b, h, h, cfg.mem_dim),
-                             jnp.float32)
+                             self.compute_dtype)
         carry = tuple(banks) + (seed_buf, jnp.asarray(cond_idx, jnp.int32))
 
         # fixed-size scan segments: pad the pass to a multiple of scan_chunk
@@ -377,7 +395,7 @@ class SAM2VideoPredictor:
             seg_idx = idxs[seg:seg + chunk]
             xs = (f["pix"][seg_idx], f["s0"][seg_idx], f["s1"][seg_idx],
                   jnp.asarray(seg_idx))
-            carry, (lo, ptr) = self._scan_pass(self.variables, carry,
+            carry, (lo, ptr) = self._scan_pass(self.compute_variables, carry,
                                                xs, reverse=reverse)
             lo_parts.append(lo)
             ptr_parts.append(ptr)
@@ -410,7 +428,7 @@ class SAM2VideoPredictor:
     def get_output_tokens(self, state: InferenceState) -> dict:
         """frame_idx -> (n_obj, d) obj_ptr array (host)."""
         n_obj = len(state.obj_ids)
-        return {f: np.asarray(tok)[:n_obj]
+        return {f: np.asarray(tok)[:n_obj].astype(np.float32)
                 for f, tok in state.output_tokens.items()}
 
 
