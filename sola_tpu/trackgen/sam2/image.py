@@ -20,10 +20,20 @@ from sola_tpu.trackgen.sam2.model import SAM2Config, SAM2Model
 
 class SAM2ImagePredictor:
     def __init__(self, model: SAM2Model, variables: dict,
-                 max_prompts: int = 8):
+                 max_prompts: int = 8, compute_dtype=jnp.bfloat16):
+        """``compute_dtype=bfloat16`` mirrors the reference's autocast bf16
+        around the AMG / image-predict path (generate_prompts_grid.py:57-63).
+        """
         self.model = model
         self.cfg: SAM2Config = model.cfg
         self.variables = variables
+        if compute_dtype == jnp.float32:
+            self.compute_variables = variables
+        else:
+            self.compute_variables = jax.tree_util.tree_map(
+                lambda x: x.astype(compute_dtype)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                variables)
         self.max_prompts = max_prompts
         self._feats = None
         self._orig_hw = None
@@ -51,7 +61,7 @@ class SAM2ImagePredictor:
         img = jax.image.resize(jnp.asarray(image, jnp.float32), (s, s, 3),
                                method="linear")
         img = normalize_image(img.astype(jnp.uint8))
-        self._feats = self._encode(self.variables, img[None])
+        self._feats = self._encode(self.compute_variables, img[None])
 
     def _scale_coords(self, coords: np.ndarray) -> np.ndarray:
         h, w = self._orig_hw
@@ -99,8 +109,8 @@ class SAM2ImagePredictor:
         s0 = jnp.broadcast_to(f["s0"], (n,) + f["s0"].shape[1:])
         s1 = jnp.broadcast_to(f["s1"], (n,) + f["s1"].shape[1:])
         fn = self._predict_multi if multimask_output else self._predict_single
-        out = fn(self.variables, pix, s0, s1, jnp.asarray(coords),
-                 jnp.asarray(labels))
+        out = fn(self.compute_variables, pix, s0, s1,
+                 jnp.asarray(coords), jnp.asarray(labels))
         high = _resize_masks(out["high_res_masks"], self._orig_hw)
         masks = np.asarray(high > 0.0)
         return masks, np.asarray(out["ious"]), np.asarray(
