@@ -102,7 +102,10 @@ class RoPEAttention(nn.Module):
 
         if lk >= self.fused_min_keys and hd % 8 == 0:
             from sola_tpu.ops.flash_attention import fused_attention
-            out = fused_attention(qh, kh, vh, key_mask=key_mask)
+            # large blocks amortize per-step overhead over the ~29k-key
+            # memory axis (still well under the VMEM budget at hd<=256)
+            out = fused_attention(qh, kh, vh, key_mask=key_mask,
+                                  block_q=512, block_k=1024)
         else:
             scale = 1.0 / jnp.sqrt(jnp.asarray(hd, qh.dtype))
             logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,

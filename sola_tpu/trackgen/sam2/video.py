@@ -413,7 +413,7 @@ class SAM2VideoPredictor:
 
         # fetch + resize outputs in chunks, yield per frame
         oh, ow = state.orig_hw
-        chunk = 8
+        chunk = 16
         for cstart in range(0, n_valid, chunk):
             cend = min(cstart + chunk, n_valid)
             lo = low_res[cstart:cend, :n_obj]
