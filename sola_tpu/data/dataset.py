@@ -26,7 +26,6 @@ import numpy as np
 from sola_tpu.core import rle
 from sola_tpu.data import meta as meta_lib
 from sola_tpu.data import tracks as tracks_lib
-from sola_tpu.data.meta import Sample
 
 
 def _round_up(x: int, buckets: Sequence[int]) -> int:

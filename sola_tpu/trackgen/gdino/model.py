@@ -22,7 +22,7 @@ replacing the reference's CUDA extension (SURVEY.md §2.4).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

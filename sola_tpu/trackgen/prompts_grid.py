@@ -12,7 +12,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-from typing import Callable
 
 import numpy as np
 

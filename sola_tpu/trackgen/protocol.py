@@ -13,7 +13,7 @@ census machinery is testable without checkpoints or accelerators
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterator, Optional, Protocol, Sequence
+from typing import Iterator, Protocol
 
 import numpy as np
 

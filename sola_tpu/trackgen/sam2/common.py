@@ -9,7 +9,7 @@ modules the reference drives through ``build_sam2_video_predictor``
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ not a strided gather.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

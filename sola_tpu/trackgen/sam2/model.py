@@ -15,7 +15,6 @@ compile-time knob).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
