@@ -66,7 +66,7 @@ def nms(boxes: np.ndarray, scores: np.ndarray,
 class SAM2AutomaticMaskGenerator:
     def __init__(self, predictor: SAM2ImagePredictor,
                  points_per_side: int = 32,
-                 points_per_batch: int = 64,
+                 points_per_batch: int = 128,
                  pred_iou_thresh: float = 0.8,
                  stability_score_thresh: float = 0.95,
                  stability_score_offset: float = 1.0,
