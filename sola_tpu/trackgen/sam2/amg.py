@@ -14,8 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sola_tpu.trackgen.sam2.image import (SAM2ImagePredictor,
-                                          compute_stability_score)
+from sola_tpu.trackgen.sam2.image import SAM2ImagePredictor
 
 
 def build_point_grid(n_per_side: int) -> np.ndarray:
@@ -89,42 +88,44 @@ class SAM2AutomaticMaskGenerator:
         self.predictor.set_image(image)
         grid = build_point_grid(self.points_per_side)
         coords = grid * np.asarray([w, h], np.float32)
+        bsz = self.points_per_batch
+        n_pad = ((len(coords) + bsz - 1) // bsz) * bsz
+        coords = np.concatenate(
+            [coords, np.tile(coords[-1:], (n_pad - len(coords), 1))], axis=0)
 
-        kept_low, kept_iou, kept_stab, kept_pts = [], [], [], []
-        for start in range(0, len(coords), self.points_per_batch):
-            batch = coords[start:start + self.points_per_batch]
-            pts = batch[:, None, :]  # (B, 1, 2)
-            labels = np.ones((len(batch), 1), np.int32)
-            _, ious, low_res = self.predictor.predict(
-                point_coords=pts, point_labels=labels,
-                multimask_output=True)
-            n, k = ious.shape
-            low = low_res.reshape(n * k, *low_res.shape[2:])
-            iou_flat = ious.reshape(-1)
-            stab = compute_stability_score(
-                low, 0.0, self.stability_score_offset)
-            keep = (iou_flat > self.pred_iou_thresh) & (
+        # device-side proposal pass: only (iou, stability) scalars cross to
+        # host per batch; low-res logits stay on device
+        kept_dev, kept_iou, kept_stab, kept_pts = [], [], [], []
+        for start in range(0, len(coords), bsz):
+            batch = coords[start:start + bsz]
+            valid = min(bsz, len(grid) - start)
+            if valid <= 0:
+                break
+            ious, stab, low_dev = self.predictor.propose(
+                batch[:, None, :], self.stability_score_offset)
+            keep = (ious > self.pred_iou_thresh) & (
                 stab > self.stability_score_thresh)
-            pts_rep = np.repeat(batch, k, axis=0)
-            for i in np.nonzero(keep)[0]:
-                kept_low.append(low[i])
-                kept_iou.append(float(iou_flat[i]))
-                kept_stab.append(float(stab[i]))
-                kept_pts.append(pts_rep[i])
+            keep[valid:] = False
+            idx_n, idx_k = np.nonzero(keep)
+            if len(idx_n) == 0:
+                continue
+            kept_dev.append(low_dev[jnp.asarray(idx_n), jnp.asarray(idx_k)])
+            kept_iou.extend(float(x) for x in ious[idx_n, idx_k])
+            kept_stab.extend(float(x) for x in stab[idx_n, idx_k])
+            kept_pts.extend(batch[i] for i in idx_n)
 
-        if not kept_low:
+        if not kept_dev:
             return []
 
-        # upscale survivors to image resolution in fixed-size chunks
-        masks = []
-        chunk = 32
-        low_all = np.stack(kept_low, axis=0)
-        for start in range(0, len(low_all), chunk):
-            part = jnp.asarray(low_all[start:start + chunk])
-            up = jax.image.resize(part, (part.shape[0], h, w),
-                                  method="linear")
-            masks.append(np.asarray(up > 0.0))
-        masks = np.concatenate(masks, axis=0)
+        # upscale only the survivors, threshold on device, fetch uint8
+        # (count padded to a bucket so finalize compiles O(1) times)
+        low_all = jnp.concatenate(kept_dev, axis=0)
+        k = low_all.shape[0]
+        k_pad = ((k + 31) // 32) * 32
+        low_all = jnp.pad(low_all, ((0, k_pad - k), (0, 0), (0, 0)),
+                          constant_values=-10.0)
+        masks = self.predictor.finalize_masks(
+            low_all, h, w)[:k].astype(bool)
 
         boxes = np.stack([box_from_mask(m) for m in masks], axis=0)
         areas = masks.reshape(len(masks), -1).sum(axis=1)

@@ -54,6 +54,29 @@ class SAM2ImagePredictor:
             lambda v, pix, s0, s1, c, l: _predict(v, pix, s0, s1, c, l,
                                                   True))
 
+        # AMG fast path: everything stays on device; only (iou, stability)
+        # scalars come back per proposal. High-res masks are never built —
+        # host<->device bandwidth is the binding constraint for dense
+        # proposal generation (each high-res fetch is ~GBs per frame).
+        def _propose(v, pix, s0, s1, coords, labels, stability_offset):
+            out = _predict(v, pix, s0, s1, coords, labels, True)
+            low = out["low_res_masks"]          # (N, 3, 4h, 4w) fp32
+            inter = jnp.sum(low > stability_offset, axis=(-2, -1))
+            union = jnp.sum(low > -stability_offset, axis=(-2, -1))
+            stab = jnp.where(union > 0,
+                             inter / jnp.maximum(union, 1), 0.0)
+            return out["ious"], stab, low
+
+        self._propose = jax.jit(_propose)
+
+        def _finalize(low_sel, h, w):
+            """Upscale selected low-res logits to image res -> uint8 masks."""
+            up = jax.image.resize(low_sel, (low_sel.shape[0], h, w),
+                                  method="linear")
+            return (up > 0.0).astype(jnp.uint8)
+
+        self._finalize = jax.jit(_finalize, static_argnums=(1, 2))
+
     def set_image(self, image: np.ndarray) -> None:
         """(H, W, 3) uint8."""
         s = self.cfg.image_size
@@ -70,6 +93,28 @@ class SAM2ImagePredictor:
         out[..., 0] *= s / w
         out[..., 1] *= s / h
         return out
+
+    def propose(self, point_coords: np.ndarray,
+                stability_offset: float = 1.0):
+        """AMG proposal pass: (N, 1, 2) point prompts -> host (iou (N,3),
+        stability (N,3)) + DEVICE low-res logits (N, 3, 4h, 4w). Only the
+        scalars cross to host; callers gather survivors on device."""
+        assert self._feats is not None, "call set_image first"
+        coords = self._scale_coords(np.asarray(point_coords, np.float32))
+        labels = np.ones(coords.shape[:2], np.int32)
+        n = coords.shape[0]
+        f = self._feats
+        pix = jnp.broadcast_to(f["pix"], (n,) + f["pix"].shape[1:])
+        s0 = jnp.broadcast_to(f["s0"], (n,) + f["s0"].shape[1:])
+        s1 = jnp.broadcast_to(f["s1"], (n,) + f["s1"].shape[1:])
+        ious, stab, low = self._propose(
+            self.compute_variables, pix, s0, s1, jnp.asarray(coords),
+            jnp.asarray(labels), stability_offset)
+        return np.asarray(ious), np.asarray(stab), low
+
+    def finalize_masks(self, low_sel, h: int, w: int) -> np.ndarray:
+        """Upscale selected (K, 4h, 4w) device logits -> host (K, h, w) uint8."""
+        return np.asarray(self._finalize(low_sel, h, w))
 
     def predict(self, point_coords: Optional[np.ndarray] = None,
                 point_labels: Optional[np.ndarray] = None,
