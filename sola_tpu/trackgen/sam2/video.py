@@ -191,10 +191,14 @@ class SAM2VideoPredictor:
         self._scan_pass = scan_pass
         self._pos_const = None  # set per init_state
 
+        # resize + threshold on device; only uint8 masks cross to host
+        # (4x less transfer than fp32 logits — the host link is the
+        # bottleneck for mask-dense outputs)
         self._resize_batch = jax.jit(
-            lambda lo, h, w: jax.image.resize(
+            lambda lo, h, w: (jax.image.resize(
                 lo.astype(jnp.float32),
-                (lo.shape[0], lo.shape[1], h, w), method="linear"),
+                (lo.shape[0], lo.shape[1], h, w),
+                method="linear") > 0.0).astype(jnp.uint8),
             static_argnums=(1, 2))
 
     # ------------------------------------------------------------------
@@ -417,13 +421,15 @@ class SAM2VideoPredictor:
         for cstart in range(0, n_valid, chunk):
             cend = min(cstart + chunk, n_valid)
             lo = low_res[cstart:cend, :n_obj]
-            hi = self._resize_batch(lo, oh, ow)
-            hi_np = np.asarray(hi)
+            hi_np = np.asarray(self._resize_batch(lo, oh, ow))  # uint8 masks
             toks = np.asarray(obj_ptrs[cstart:cend])
             for j in range(cend - cstart):
                 fidx = int(frame_idxs[cstart + j])
                 state.output_tokens[fidx] = toks[j]
-                yield (fidx, list(state.obj_ids), hi_np[j][:, None])
+                # consumers binarize at 0 (generate_tokens_grid.py:215-222);
+                # reconstruct +-10 logits from the device-thresholded masks
+                logits = hi_np[j].astype(np.float32) * 20.0 - 10.0
+                yield (fidx, list(state.obj_ids), logits[:, None])
 
     def get_output_tokens(self, state: InferenceState) -> dict:
         """frame_idx -> (n_obj, d) obj_ptr array (host)."""
