@@ -55,6 +55,25 @@ def _resize_nearest(mask: np.ndarray, hw: tuple) -> np.ndarray:
     return np.asarray(out)
 
 
+def _batched_dedup_ious(masklet_small: np.ndarray,
+                        prompts: list, hw: tuple) -> np.ndarray:
+    """IoU of each prompt's mask against the new masklet at the prompt's
+    frame — one device program for all remaining prompts (the per-pair
+    loop costs a host round trip per prompt x track)."""
+    import jax.numpy as jnp
+
+    from sola_tpu.core.mask_ops import mask_iou
+    small = []
+    for p in prompts:
+        if getattr(p, "_small", None) is None or p._small.shape != hw:
+            p._small = _resize_nearest(p.segmentation, hw)
+        small.append(p._small)
+    prompt_masks = jnp.asarray(np.stack(small, axis=0))
+    frame_idxs = jnp.asarray([p.frame_idx for p in prompts], jnp.int32)
+    frames = jnp.asarray(masklet_small)[frame_idxs]
+    return np.asarray(mask_iou(frames, prompt_masks))
+
+
 def generate_tracks(
     predictor,
     state,
@@ -147,20 +166,20 @@ def generate_tracks(
                  for f in range(n_frames)], axis=0)
             results.append(TrackResult(p.prompt_id, masklet, small, toks))
 
-        # --- dedup remaining prompts against the new masklets ---
+        # --- dedup remaining prompts against the new masklets (one device
+        # program per track over all remaining prompts) ---
         for result in results:
             small_hw = result.masklet_small.shape[1:]
-            for p in prompts:
-                if p.status != 0:
-                    continue
-                pred_frame = result.masklet_small[p.frame_idx]
-                prompt_small = _resize_nearest(p.segmentation, small_hw)
-                iou = float(mask_ops.mask_iou(pred_frame, prompt_small))
-                if iou > miou_thresh:
-                    p.status = 2
-                    p.filtered_by = result.prompt_id
-                    p.filtered_iou = iou
-                    n_filtered += 1
+            remaining = [p for p in prompts if p.status == 0]
+            if remaining:
+                ious = _batched_dedup_ious(result.masklet_small, remaining,
+                                           small_hw)
+                for p, iou in zip(remaining, ious):
+                    if iou > miou_thresh:
+                        p.status = 2
+                        p.filtered_by = result.prompt_id
+                        p.filtered_iou = float(iou)
+                        n_filtered += 1
             if on_track is not None:
                 on_track(result)
 
