@@ -129,7 +129,8 @@ def main(argv=None, predictor_factory=None) -> None:
 
     if predictor_factory is None:
         from sola_tpu.trackgen.sam2.convert import load_sam2_video_predictor
-        predictor_factory = lambda: load_sam2_video_predictor(args.sam2_ckpt)
+        predictor_factory = lambda: load_sam2_video_predictor(
+            args.sam2_ckpt, obj_batch=args.batch_size)
     predictor = predictor_factory()
 
     runtime_path = os.path.join(out_dir, "runtime_info.json")

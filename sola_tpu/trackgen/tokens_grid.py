@@ -144,7 +144,8 @@ def main(argv=None, predictor_factory=None) -> None:
             mask_dict = json.load(f)
 
     if predictor_factory is None:
-        predictor_factory = _default_predictor_factory(args.sam2_ckpt)
+        predictor_factory = _default_predictor_factory(args.sam2_ckpt,
+                                                       args.batch_size)
     predictor = predictor_factory()
 
     runtime_info = {}
@@ -179,10 +180,10 @@ def main(argv=None, predictor_factory=None) -> None:
             json.dump(runtime_info, f, indent=4)
 
 
-def _default_predictor_factory(ckpt_path: str):
+def _default_predictor_factory(ckpt_path: str, obj_batch: int = 4):
     def factory():
         from sola_tpu.trackgen.sam2.convert import load_sam2_video_predictor
-        return load_sam2_video_predictor(ckpt_path)
+        return load_sam2_video_predictor(ckpt_path, obj_batch=obj_batch)
     return factory
 
 
