@@ -193,14 +193,19 @@ def train(configs: dict, max_steps_per_epoch: Optional[int] = None,
         # keep per-step metrics as device arrays; fetching only at epoch end
         # lets dispatch run ahead of the host (no per-step sync)
         train_losses = {"total": [], "bce": [], "alignment": []}
-        for step_idx, raw in enumerate(loader_dict["train"]):
-            if max_steps_per_epoch and step_idx >= max_steps_per_epoch:
-                break
-            rng, step_rng = jax.random.split(rng)
-            batch = prepare_batch(raw, text_encoder, train_cfg)
-            tstate, metrics = train_step(tstate, batch, step_rng)
-            for k in train_losses:
-                train_losses[k].append(metrics[k])
+        from tqdm import tqdm
+        n_epochs = int(train_cfg["n_epochs"])
+        with tqdm(loader_dict["train"],
+                  desc=f"EPOCH [{epoch + 1} / {n_epochs}]",
+                  disable=None) as pbar:
+            for step_idx, raw in enumerate(pbar):
+                if max_steps_per_epoch and step_idx >= max_steps_per_epoch:
+                    break
+                rng, step_rng = jax.random.split(rng)
+                batch = prepare_batch(raw, text_encoder, train_cfg)
+                tstate, metrics = train_step(tstate, batch, step_rng)
+                for k in train_losses:
+                    train_losses[k].append(metrics[k])
         train_losses = {k: [float(x) for x in v]
                         for k, v in train_losses.items()}
 
