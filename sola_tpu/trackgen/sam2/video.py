@@ -189,7 +189,6 @@ class SAM2VideoPredictor:
                 lambda c, x: step(v, c, x, reverse), carry, xs)
 
         self._scan_pass = scan_pass
-        self._pos_const = None  # set per init_state
 
         # resize + threshold on device; only uint8 masks cross to host
         # (4x less transfer than fp32 logits — the host link is the
@@ -236,7 +235,6 @@ class SAM2VideoPredictor:
             "s0": jnp.concatenate(s0_list, axis=0),
             "s1": jnp.concatenate(s1_list, axis=0),
         }
-        self._pos_const = pos
         return InferenceState(num_frames=t, obj_batch=self.obj_batch,
                               features=features, pos=pos, orig_hw=orig_hw)
 
