@@ -159,3 +159,43 @@ def test_jit_and_grad():
     flat = jax.tree_util.tree_leaves(g)
     assert all(bool(jnp.all(jnp.isfinite(x))) for x in flat)
     assert any(float(jnp.abs(x).max()) > 0 for x in flat)
+
+
+def test_heterogeneous_batch_matches_individual(state_and_vars, rng):
+    """Two samples with different track/frame counts batched together must
+    each reproduce their individually-computed outputs."""
+    state, variables = state_and_vars
+    n1, t1 = 3, 12
+    n2, t2 = 5, 20
+    obj1 = rng.standard_normal((1, n1, t1, CFG.object_token_dim),
+                               dtype=np.float32)
+    obj2 = rng.standard_normal((1, n2, t2, CFG.object_token_dim),
+                               dtype=np.float32)
+    w = 6
+    lang = rng.standard_normal((2, w, CFG.lang_token_dim), dtype=np.float32)
+
+    out1, _ = run_jax(variables, obj1, lang[:1],
+                      track_mask=jnp.ones((1, n1), bool),
+                      frame_lengths=jnp.array([t1]),
+                      lang_mask=jnp.ones((1, w), bool))
+    out2, _ = run_jax(variables, obj2, lang[1:],
+                      track_mask=jnp.ones((1, n2), bool),
+                      frame_lengths=jnp.array([t2]),
+                      lang_mask=jnp.ones((1, w), bool))
+
+    n_pad, t_pad = 6, 24
+    obj = rng.standard_normal((2, n_pad, t_pad, CFG.object_token_dim),
+                              dtype=np.float32) * 7  # garbage padding
+    obj[0, :n1, :t1] = obj1[0]
+    obj[1, :n2, :t2] = obj2[0]
+    track_mask = np.zeros((2, n_pad), bool)
+    track_mask[0, :n1] = True
+    track_mask[1, :n2] = True
+    out, _ = run_jax(variables, obj, lang,
+                     track_mask=jnp.asarray(track_mask),
+                     frame_lengths=jnp.array([t1, t2]),
+                     lang_mask=jnp.ones((2, w), bool))
+    np.testing.assert_allclose(np.asarray(out)[0, :n1],
+                               np.asarray(out1)[0], atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out)[1, :n2],
+                               np.asarray(out2)[0], atol=2e-4, rtol=1e-4)
