@@ -21,7 +21,7 @@ import time
 import numpy as np
 
 
-def tpu_throughput(n_pairs: int = 64, batch: int = 8, n_tracks: int = 64,
+def tpu_throughput(n_pairs: int = 512, batch: int = 8, n_tracks: int = 64,
                    n_frames: int = 64, n_words: int = 16,
                    iters: int = 3) -> float:
     import jax
