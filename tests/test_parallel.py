@@ -25,6 +25,35 @@ def test_dryrun_multichip_executes():
     ge.dryrun_multichip(8)
 
 
+def test_dryrun_multichip_self_provisions_devices():
+    """Reproduce the driver's environment (MULTICHIP_r01 failure): NO
+    conftest platform forcing, fewer visible devices than requested.
+    dryrun_multichip must provision a virtual mesh itself (in a subprocess)
+    rather than crash reshaping 1 device into (8, 1)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    # single CPU device, no forced host device count — like the bench box
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    code = (
+        f"import sys; sys.path.insert(0, {repo!r})\n"
+        "import jax\n"
+        "assert len(jax.devices()) < 8, 'precondition: scarce devices'\n"
+        "from __graft_entry__ import dryrun_multichip\n"
+        "dryrun_multichip(8)\n")
+    proc = subprocess.run([sys.executable, "-c", code], env=env,
+                          capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip(8): ok" in proc.stdout, proc.stdout
+
+
 def test_entry_compiles_small():
     """entry() is the full-size model; here just check the same path compiles
     at a reduced size via dryrun (full-size compile is the driver's job)."""
