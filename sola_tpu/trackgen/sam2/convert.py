@@ -5,7 +5,8 @@ checkpoints the reference loads at generate_tokens_grid.py:28-29) onto the
 SAM2Model parameter tree. Layout transforms:
 
     torch Conv2d   (O, I, kh, kw) -> flax Conv kernel (kh, kw, I, O)
-    torch ConvT2d  (I, O, kh, kw) -> flax ConvTranspose kernel (kh, kw, I, O)
+    torch ConvT2d  (I, O, kh, kw) -> flax ConvTranspose kernel
+                                     (kh, kw, I, O), spatially flipped
     torch Linear   (O, I)         -> flax Dense kernel (I, O)
     torch LN/param vectors        -> as-is (weight -> scale)
 
@@ -37,8 +38,13 @@ def _conv(state, name):
 
 
 def _convT(state, name):
-    return {"kernel": np.transpose(_np(state[f"{name}.weight"]),
-                                   (2, 3, 0, 1)),
+    # torch ConvTranspose2d computes the *gradient-of-conv* (implicitly
+    # flipped kernel); flax ConvTranspose(transpose_kernel=False) does a
+    # fractionally-strided conv with the kernel as-is — so the spatial dims
+    # must be flipped in the mapping (verified numerically vs torch in
+    # tests/test_sam2_torch_oracle.py).
+    w = np.transpose(_np(state[f"{name}.weight"]), (2, 3, 0, 1))
+    return {"kernel": w[::-1, ::-1].copy(),
             "bias": _np(state[f"{name}.bias"])}
 
 
@@ -228,7 +234,7 @@ def torch_sam2_to_params(state: dict, cfg: SAM2Config) -> dict:
     p["memory_encoder"] = me
 
     # ---- top-level params ----
-    p["no_mem_embed"] = _np(state["no_mem_embed"])[0]
+    p["no_mem_embed"] = _np(state["no_mem_embed"])  # (1, 1, d), as upstream
     p["maskmem_tpos_enc"] = _np(state["maskmem_tpos_enc"])
     p["no_obj_ptr"] = _np(state["no_obj_ptr"])
     p["obj_ptr_proj"] = _mlp(state, "obj_ptr_proj", 3)
@@ -249,8 +255,9 @@ def params_to_torch_sam2(variables: dict, cfg: SAM2Config) -> dict:
         out[f"{name}.bias"] = np.asarray(node["bias"])
 
     def put_convT(name, node):
-        out[f"{name}.weight"] = np.transpose(np.asarray(node["kernel"]),
-                                             (2, 3, 0, 1))
+        # inverse of _convT: un-flip spatial dims, then (kh,kw,I,O)->(I,O,kh,kw)
+        k = np.asarray(node["kernel"])[::-1, ::-1]
+        out[f"{name}.weight"] = np.transpose(k, (2, 3, 0, 1)).copy()
         out[f"{name}.bias"] = np.asarray(node["bias"])
 
     def put_dense(name, node):
@@ -392,7 +399,7 @@ def params_to_torch_sam2(variables: dict, cfg: SAM2Config) -> dict:
         put_dense(f"{t}.pwconv2", f["pwconv2"])
         out[f"{t}.gamma"] = np.asarray(f["gamma"])
 
-    out["no_mem_embed"] = np.asarray(p["no_mem_embed"])[None]
+    out["no_mem_embed"] = np.asarray(p["no_mem_embed"])
     out["maskmem_tpos_enc"] = np.asarray(p["maskmem_tpos_enc"])
     out["no_obj_ptr"] = np.asarray(p["no_obj_ptr"])
     put_mlp("obj_ptr_proj", p["obj_ptr_proj"], 3)

@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from sola_tpu.trackgen.sam2.common import (sdpa, window_partition,
+from sola_tpu.trackgen.sam2.common import (sdpa, torch_bicubic_resize,
+                                           window_partition,
                                            window_unpartition)
 
 
@@ -162,7 +163,10 @@ def hiera_segments(cfg: HieraConfig) -> list[tuple]:
             dim_out = int(dim * cfg.dim_mul)
             heads = int(heads * cfg.head_mul)
             stage += 1
-        window = cfg.window_spec[stage]
+        # the first block of a stage (q_pool) keeps the PREVIOUS stage's
+        # window size (upstream hiera.py "lags by a block"; the block then
+        # unpartitions at window//2 after pooling)
+        window = cfg.window_spec[stage - 1 if q_pool else stage]
         if i in cfg.global_att_blocks:
             window = 0
         specs.append((dim, dim_out, heads, window, q_pool))
@@ -223,7 +227,9 @@ class Hiera(nn.Module):
         win = self.param("pos_embed_window", nn.initializers.normal(0.02),
                          (cfg.window_spec[0], cfg.window_spec[0],
                           cfg.embed_dim))
-        pos = jax.image.resize(bkg, (h, w, cfg.embed_dim), method="cubic")
+        # upstream: F.interpolate(pos_embed, (h, w), mode="bicubic") — torch
+        # bicubic (A=-0.75), which jax.image.resize "cubic" (A=-0.5) is NOT
+        pos = torch_bicubic_resize(bkg, h, w)
         tiles_h = h // cfg.window_spec[0]
         tiles_w = w // cfg.window_spec[0]
         pos = pos + jnp.tile(win, (tiles_h, tiles_w, 1))

@@ -85,7 +85,7 @@ class TwoWayAttentionBlock(nn.Module):
                 cfg.transformer_dim, cfg.num_heads, name="self_attn")(
                     q, q, queries)
             queries = queries + attn
-        queries = nn.LayerNorm(name="norm1")(queries)
+        queries = nn.LayerNorm(epsilon=1e-5, name="norm1")(queries)
 
         q = queries + query_pe
         k = keys + key_pe
@@ -93,12 +93,12 @@ class TwoWayAttentionBlock(nn.Module):
             cfg.transformer_dim, cfg.num_heads,
             cfg.attention_downsample_rate, name="cross_attn_t2i")(q, k, keys)
         queries = queries + attn
-        queries = nn.LayerNorm(name="norm2")(queries)
+        queries = nn.LayerNorm(epsilon=1e-5, name="norm2")(queries)
 
         mlp = nn.Dense(cfg.transformer_mlp_dim, name="mlp_0")(queries)
         mlp = nn.relu(mlp)
         mlp = nn.Dense(cfg.transformer_dim, name="mlp_1")(mlp)
-        queries = nn.LayerNorm(name="norm3")(queries + mlp)
+        queries = nn.LayerNorm(epsilon=1e-5, name="norm3")(queries + mlp)
 
         q = queries + query_pe
         k = keys + key_pe
@@ -106,7 +106,7 @@ class TwoWayAttentionBlock(nn.Module):
             cfg.transformer_dim, cfg.num_heads,
             cfg.attention_downsample_rate, name="cross_attn_i2t")(k, q,
                                                                   queries)
-        keys = nn.LayerNorm(name="norm4")(keys + attn)
+        keys = nn.LayerNorm(epsilon=1e-5, name="norm4")(keys + attn)
         return queries, keys
 
 
@@ -130,7 +130,7 @@ class TwoWayTransformer(nn.Module):
             self.cfg.transformer_dim, self.cfg.num_heads,
             self.cfg.attention_downsample_rate,
             name="final_attn")(q, k, keys)
-        queries = nn.LayerNorm(name="norm_final")(queries + attn)
+        queries = nn.LayerNorm(epsilon=1e-5, name="norm_final")(queries + attn)
         return queries, keys
 
 
@@ -163,8 +163,12 @@ class MaskDecoder(nn.Module):
             MLP(d, d // 8, 3, name=f"hyper_mlp_{i}")
             for i in range(cfg.num_mask_tokens)
         ]
+        # SAM2 (unlike SAM1) builds the decoder with
+        # iou_prediction_use_sigmoid=True: predicted IoUs are in [0, 1],
+        # which AMG's pred_iou_thresh filtering assumes
         self.iou_head = MLP(cfg.iou_head_hidden_dim, cfg.num_mask_tokens,
-                            cfg.iou_head_depth, name="iou_head")
+                            cfg.iou_head_depth, sigmoid_output=True,
+                            name="iou_head")
 
     def __call__(self, image_embedding, image_pe, sparse_prompt,
                  dense_prompt, multimask_output: bool,
@@ -242,7 +246,11 @@ class MaskDecoder(nn.Module):
 
     def _stable_single(self, masks, iou_pred, mask_tokens_out):
         """Single-mask output with the dynamic stability fallback: if the
-        token-0 mask is unstable, substitute the best multimask output."""
+        token-0 mask is unstable, substitute the best multimask output.
+
+        The SAM token stays token 0 either way — upstream's stability swap
+        (mask_decoder._dynamic_multimask_via_stability) replaces masks and
+        ious only; sam_tokens_out = mask_tokens_out[:, 0:1] regardless."""
         cfg = self.cfg
         delta = cfg.dynamic_multimask_stability_delta
         m0 = masks[:, 0]
@@ -258,11 +266,6 @@ class MaskDecoder(nn.Module):
             masks[:, 1:], best[:, None, None, None], axis=1)[:, 0]
         best_iou = jnp.take_along_axis(multi_iou, best[:, None],
                                        axis=1)[:, 0]
-        best_token = jnp.take_along_axis(
-            mask_tokens_out[:, 1:], best[:, None, None], axis=1)[:, 0]
-
         out_mask = jnp.where(is_stable[:, None, None], m0, best_mask)
         out_iou = jnp.where(is_stable, iou_pred[:, 0], best_iou)
-        token = jnp.where(is_stable[:, None], mask_tokens_out[:, 0],
-                          best_token)
-        return out_mask[:, None], out_iou[:, None], token
+        return out_mask[:, None], out_iou[:, None], mask_tokens_out[:, 0]

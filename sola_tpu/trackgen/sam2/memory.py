@@ -143,13 +143,13 @@ class MemoryAttentionLayer(nn.Module):
                  num_obj_ptr_tokens: int = 0, key_mask=None):
         cfg = self.cfg
         # self attention (pre-norm, no PE at attn per SAM2 config)
-        t2 = nn.LayerNorm(name="norm1")(tgt)
+        t2 = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt)
         t2 = RoPEAttention(cfg.d_model, cfg.num_heads,
                            feat_size=cfg.feat_size, name="self_attn")(
                                t2, t2, t2)
         tgt = tgt + t2
         # cross attention: keys get their positional encodings added
-        t2 = nn.LayerNorm(name="norm2")(tgt)
+        t2 = nn.LayerNorm(epsilon=1e-5, name="norm2")(tgt)
         k = memory + memory_pos
         t2 = RoPEAttention(cfg.d_model, cfg.num_heads,
                            kv_in_dim=cfg.mem_dim, feat_size=cfg.feat_size,
@@ -159,7 +159,7 @@ class MemoryAttentionLayer(nn.Module):
                                key_mask=key_mask)
         tgt = tgt + t2
         # FFN
-        t2 = nn.LayerNorm(name="norm3")(tgt)
+        t2 = nn.LayerNorm(epsilon=1e-5, name="norm3")(tgt)
         t2 = nn.Dense(cfg.dim_feedforward, name="linear1")(t2)
         t2 = nn.relu(t2)
         t2 = nn.Dense(cfg.d_model, name="linear2")(t2)
@@ -190,13 +190,14 @@ class MemoryAttention(nn.Module):
                  num_obj_ptr_tokens: int = 0, key_mask=None):
         """curr (B, L, d_model); memory (B, Lm, mem_dim) + obj-ptr tokens.
 
-        pos_enc_at_input=True: query PE added once at input. ``key_mask``
+        pos_enc_at_input=True: query PE added once at input with upstream's
+        0.1 damping factor. ``key_mask``
         (B, Lm) masks invalid static memory slots out of the cross-attention
         (functionally identical to upstream's variable-length concat).
         The identical layers scan over stacked params (graph-size control —
         this module sits inside the per-frame tracking scan).
         """
-        x = curr + curr_pos
+        x = curr + 0.1 * curr_pos
         if self.scan_layers:
             Run = nn.scan(
                 _MemoryLayerBody,
@@ -215,7 +216,7 @@ class MemoryAttention(nn.Module):
                 x = MemoryAttentionLayer(self.cfg, name=f"layer_{i}")(
                     x, memory, curr_pos, memory_pos, num_obj_ptr_tokens,
                     key_mask=key_mask)
-        return nn.LayerNorm(name="norm")(x)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(x)
 
 
 # ---------------------------------------------------------------------------

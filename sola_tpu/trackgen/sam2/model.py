@@ -165,12 +165,16 @@ class SAM2Model(nn.Module):
     # ------------------------------------------------------------------
 
     def sam_heads(self, pix_feat, s0, s1, coords, labels,
-                  mask_prompt=None, multimask_output: bool = False):
+                  mask_prompt=None, multimask_output: bool = False,
+                  suppress_empty_obj: bool = False):
         """Run prompt encoder + mask decoder on (possibly memory-conditioned)
         stride-16 features.
 
         coords (B, N, 2) / labels (B, N) padded with -1; mask_prompt
-        (B, 4h, 4w, 1) logits or None.
+        (B, 4h, 4w, 1) logits or None. ``suppress_empty_obj`` applies
+        upstream's video-path convention (sam2_base._forward_sam_heads):
+        when the object score is <= 0 the mask logits collapse to
+        NO_OBJ_SCORE = -1024 (the image-predictor/AMG path does not do this).
 
         Returns dict: low_res_masks (B, K, 4h, 4w), high_res_masks
         (B, K, S, S), ious (B, K), obj_ptr (B, d), object_score_logits (B, 1).
@@ -181,6 +185,10 @@ class SAM2Model(nn.Module):
         low_res, ious, sam_token, obj_score = self.mask_decoder(
             pix_feat, pe, sparse, dense, multimask_output,
             high_res_features=(s0, s1))
+        if cfg.mask_decoder.pred_obj_scores and suppress_empty_obj:
+            is_obj = obj_score[:, 0] > 0  # (B,)
+            low_res = jnp.where(is_obj[:, None, None, None], low_res,
+                                jnp.asarray(-1024.0, low_res.dtype))
         high_res = interpolate_bilinear(
             low_res.transpose(0, 2, 3, 1), cfg.image_size,
             cfg.image_size).transpose(0, 3, 1, 2)
@@ -279,10 +287,11 @@ class SAM2Model(nn.Module):
         cond_tok = cond_tok.reshape(b, -1, mem_dim)
         cond_mask = jnp.repeat(cond_valid, hw, axis=1)
 
-        # recent slots: t_pos = recent_tpos -> index num_maskmem - 1 - t_pos
+        # recent slots: temporal distance t_rel in [1, num_recent] gets
+        # maskmem_tpos_enc[t_rel - 1] (upstream sam2_base: index
+        # num_maskmem - t_pos - 1 with t_pos = num_maskmem - t_rel)
         rec_tok = recent_mem.reshape(b, -1, hw, mem_dim)
-        tpos_idx = jnp.clip(cfg.num_maskmem - 1 - recent_tpos, 0,
-                            cfg.num_maskmem - 1)
+        tpos_idx = jnp.clip(recent_tpos - 1, 0, cfg.num_maskmem - 2)
         tpos_enc = jnp.take(
             self.maskmem_tpos_enc.reshape(cfg.num_maskmem, mem_dim),
             tpos_idx, axis=0)  # (B, R, mem)

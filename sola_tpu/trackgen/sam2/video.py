@@ -144,7 +144,8 @@ class SAM2VideoPredictor:
             coords = jnp.zeros((b, 1, 2), cdt)
             labels = jnp.full((b, 1), -1, jnp.int32)
             out = _apply(SAM2Model.sam_heads, conditioned, s0, s1, coords,
-                         labels, None, cfg.multimask_output_for_tracking)
+                         labels, None, cfg.multimask_output_for_tracking,
+                         True)  # suppress_empty_obj: video-path convention
             mem = _apply(SAM2Model.encode_memory, conditioned,
                          out["high_res_masks"][:, 0]).astype(cdt)
             obj_ptr_new = out["obj_ptr"].astype(cdt)
