@@ -102,12 +102,18 @@ class RobertaEncoder(nn.Module):
     cfg: RobertaConfig
 
     @nn.compact
-    def __call__(self, input_ids: jax.Array,
-                 attention_mask: jax.Array) -> jax.Array:
+    def __call__(self, input_ids: jax.Array, attention_mask: jax.Array,
+                 position_ids: Optional[jax.Array] = None) -> jax.Array:
+        """attention_mask: (B, L) padding mask, or (B, L, L) full
+        self-attention mask (GroundingDINO's sub-sentence blocks);
+        position_ids: optional explicit positions (GDINO restarts them per
+        phrase)."""
         cfg = self.cfg
         word = nn.Embed(cfg.vocab_size, cfg.hidden_size, name="word_emb")(
             input_ids)
-        if cfg.position_style == "bert":
+        if position_ids is not None:
+            pos_ids = position_ids
+        elif cfg.position_style == "bert":
             pos_ids = jnp.broadcast_to(
                 jnp.arange(input_ids.shape[1], dtype=jnp.int32)[None],
                 input_ids.shape)
@@ -119,8 +125,12 @@ class RobertaEncoder(nn.Module):
                               (cfg.hidden_size,))
         x = word + pos + tok_type
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="emb_ln")(x)
-        attn_bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0,
-                              -1e30).astype(jnp.float32)
+        if attention_mask.ndim == 3:
+            attn_bias = jnp.where(attention_mask[:, None, :, :] > 0, 0.0,
+                                  -1e30).astype(jnp.float32)
+        else:
+            attn_bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0,
+                                  -1e30).astype(jnp.float32)
         for i in range(cfg.num_layers):
             x = RobertaLayer(cfg, name=f"layer_{i}")(x, attn_bias)
         return x

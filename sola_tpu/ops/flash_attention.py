@@ -25,7 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
+def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
                  m_scratch, l_scratch, acc_scratch, *, scale: float,
                  has_mask: bool):
     ik = pl.program_id(2)
@@ -61,8 +61,81 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
 
     @pl.when(ik == nk - 1)
     def _finalize():
-        o_ref[0] = (acc_scratch[:] /
-                    jnp.maximum(l_scratch[:], 1e-30)).astype(o_ref.dtype)
+        l_safe = jnp.maximum(l_scratch[:], 1e-30)
+        o_ref[0] = (acc_scratch[:] / l_safe).astype(o_ref.dtype)
+        # logsumexp per query row — the backward recompute needs it
+        lse_ref[0] = (m_scratch[:] + jnp.log(l_safe)).astype(lse_ref.dtype)
+
+
+def _attn_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                        mask_ref, dq_ref, dq_scratch, *, scale: float,
+                        has_mask: bool):
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        dq_scratch[:] = jnp.zeros_like(dq_scratch)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    if has_mask:
+        s = jnp.where(mask_ref[0] > 0, s, NEG_INF)
+    p = jnp.exp(s - lse_ref[0])                # (bq, bk); 0 at masked keys
+    dp = jax.lax.dot_general(
+        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)    # (bq, bk)
+    ds = p * (dp - delta_ref[0]) * scale
+    dq_scratch[:] += jax.lax.dot_general(
+        ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        dq_ref[0] = dq_scratch[:].astype(dq_ref.dtype)
+
+
+def _attn_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                         mask_ref, dk_ref, dv_ref, dk_scratch, dv_scratch,
+                         *, scale: float, has_mask: bool):
+    iq = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_scratch[:] = jnp.zeros_like(dk_scratch)
+        dv_scratch[:] = jnp.zeros_like(dv_scratch)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # (bq, bk)
+    if has_mask:
+        s = jnp.where(mask_ref[0] > 0, s, NEG_INF)
+    p = jnp.exp(s - lse_ref[0])                # (bq, bk)
+    dv_scratch[:] += jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)    # (bk, d)
+    dp = jax.lax.dot_general(
+        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)    # (bq, bk)
+    ds = p * (dp - delta_ref[0]) * scale
+    dk_scratch[:] += jax.lax.dot_general(
+        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)    # (bk, d)
+
+    @pl.when(iq == nq - 1)
+    def _finalize():
+        dk_ref[0] = dk_scratch[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scratch[:].astype(dv_ref.dtype)
 
 
 def _pad_to(x, axis, multiple, value=0.0):
@@ -75,28 +148,16 @@ def _pad_to(x, axis, multiple, value=0.0):
     return jnp.pad(x, widths, constant_values=value)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k",
-                                             "interpret"))
-def _fused_attention_3d(q, k, v, mask, block_q: int, block_k: int,
-                        interpret: bool):
-    """q (BH, Lq, D); k/v (BH, Lk, D); mask (BH, Lk) int32 or None."""
+def _fwd_impl(q, k, v, mask, block_q: int, block_k: int, interpret: bool,
+              has_mask: bool):
+    """Core forward on block-aligned shapes. q (BH, Lq, D); k/v (BH, Lk, D);
+    mask (BH, 1, Lk) int32. Returns (out, lse (BH, Lq, 1))."""
     bh, lq, d = q.shape
     lk = k.shape[1]
     scale = 1.0 / (d ** 0.5)
-
-    q_p = _pad_to(q, 1, block_q)
-    k_p = _pad_to(k, 1, block_k)
-    v_p = _pad_to(v, 1, block_k)
-    lq_p = q_p.shape[1]
-    lk_p = k_p.shape[1]
-    has_mask = mask is not None or lk_p != lk
-    if mask is None:
-        mask = jnp.ones((bh, lk), jnp.int32)
-    mask_p = _pad_to(mask.astype(jnp.int32), 1, block_k)[:, None, :]
-
-    grid = (bh, lq_p // block_q, lk_p // block_k)
+    grid = (bh, lq // block_q, lk // block_k)
     kernel = functools.partial(_attn_kernel, scale=scale, has_mask=has_mask)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -105,9 +166,14 @@ def _fused_attention_3d(q, k, v, mask, block_q: int, block_k: int,
             pl.BlockSpec((1, block_k, d), lambda b, iq, ik: (b, ik, 0)),
             pl.BlockSpec((1, 1, block_k), lambda b, iq, ik: (b, 0, ik)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d),
-                               lambda b, iq, ik: (b, iq, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, lq_p, d), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, iq, ik: (b, iq, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, lq, 1), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -118,7 +184,112 @@ def _fused_attention_3d(q, k, v, mask, block_q: int, block_k: int,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(q_p, k_p, v_p, mask_p)
+    )(q, k, v, mask)
+    return out, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _fused_attention_core(q, k, v, mask, block_q, block_k, interpret,
+                          has_mask):
+    out, _ = _fwd_impl(q, k, v, mask, block_q, block_k, interpret, has_mask)
+    return out
+
+
+def _core_fwd(q, k, v, mask, block_q, block_k, interpret, has_mask):
+    out, lse = _fwd_impl(q, k, v, mask, block_q, block_k, interpret,
+                         has_mask)
+    return out, (q, k, v, mask, out, lse)
+
+
+def _core_bwd(block_q, block_k, interpret, has_mask, res, do):
+    q, k, v, mask, out, lse = res
+    bh, lq, d = q.shape
+    lk = k.shape[1]
+    scale = 1.0 / (d ** 0.5)
+    # delta_i = sum_d dO_id * O_id (rowwise), standard recompute identity
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1, keepdims=True)  # (BH, Lq, 1)
+
+    common_in = [q, k, v, do, lse, delta, mask]
+
+    dq = pl.pallas_call(
+        functools.partial(_attn_bwd_dq_kernel, scale=scale,
+                          has_mask=has_mask),
+        grid=(bh, lq // block_q, lk // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, iq, ik: (b, ik, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, iq, ik: (b, ik, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda b, iq, ik: (b, 0, ik)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d),
+                               lambda b, iq, ik: (b, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(*common_in)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_dkv_kernel, scale=scale,
+                          has_mask=has_mask),
+        grid=(bh, lk // block_k, lq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, ik, iq: (b, iq, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, ik, iq: (b, ik, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, ik, iq: (b, ik, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, ik, iq: (b, iq, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, ik, iq: (b, iq, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, ik, iq: (b, iq, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda b, ik, iq: (b, 0, ik)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda b, ik, iq: (b, ik, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, ik, iq: (b, ik, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, lk, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, lk, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(*common_in)
+
+    import numpy as _np
+    dmask = _np.zeros(mask.shape, dtype=jax.dtypes.float0)
+    return dq, dk, dv, dmask
+
+
+_fused_attention_core.defvjp(_core_fwd, _core_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k",
+                                             "interpret"))
+def _fused_attention_3d(q, k, v, mask, block_q: int, block_k: int,
+                        interpret: bool):
+    """q (BH, Lq, D); k/v (BH, Lk, D); mask (BH, Lk) int32 or None."""
+    bh, lq, d = q.shape
+    lk = k.shape[1]
+
+    q_p = _pad_to(q, 1, block_q)
+    k_p = _pad_to(k, 1, block_k)
+    v_p = _pad_to(v, 1, block_k)
+    has_mask = mask is not None or k_p.shape[1] != lk
+    if mask is None:
+        mask = jnp.ones((bh, lk), jnp.int32)
+    mask_p = _pad_to(mask.astype(jnp.int32), 1, block_k)[:, None, :]
+
+    out = _fused_attention_core(q_p, k_p, v_p, mask_p, block_q, block_k,
+                                interpret, has_mask)
     return out[:, :lq]
 
 

@@ -84,7 +84,11 @@ def ms_deform_attn_core(value_levels: Sequence[jax.Array],
 
 
 class MSDeformAttn(nn.Module):
-    """Deformable attention module (offsets + weights + projections)."""
+    """Deformable attention module (offsets + weights + projections).
+
+    Accepts flattened values + static spatial shapes (upstream layout) or a
+    per-level list.
+    """
     d_model: int = 256
     n_levels: int = 4
     n_heads: int = 8
@@ -92,18 +96,30 @@ class MSDeformAttn(nn.Module):
 
     @nn.compact
     def __call__(self, query: jax.Array, reference_points: jax.Array,
-                 value_levels: Sequence[jax.Array],
+                 value, spatial_shapes: Sequence[tuple] | None = None,
                  value_mask: jax.Array | None = None) -> jax.Array:
         """query (B, Lq, d); reference_points (B, Lq, n_levels, 2|4)
-        normalized; value_levels: per-level (B, H_l, W_l, d)."""
+        normalized; value: flattened (B, sumHW, d) with ``spatial_shapes``
+        [(H_l, W_l)] or a per-level list of (B, H_l, W_l, d); value_mask
+        (B, sumHW) bool True = valid (padded values are zeroed after
+        projection, as upstream masked_fill)."""
         d = self.d_model
         nh, nl, np_ = self.n_heads, self.n_levels, self.n_points
         b, lq, _ = query.shape
 
-        # one shared value projection applied per level (upstream flattens
-        # levels first; same weights either way)
-        value_proj = nn.Dense(d, name="value_proj")
-        values = [value_proj(v) for v in value_levels]
+        if spatial_shapes is None:
+            spatial_shapes = [(v.shape[1], v.shape[2]) for v in value]
+            value = jnp.concatenate(
+                [v.reshape(b, -1, v.shape[-1]) for v in value], axis=1)
+        projected = nn.Dense(d, name="value_proj")(value)
+        if value_mask is not None:
+            projected = jnp.where(value_mask[..., None], projected, 0.0)
+        values = []
+        start = 0
+        for (h, w) in spatial_shapes:
+            values.append(projected[:, start:start + h * w].reshape(
+                b, h, w, d))
+            start += h * w
 
         offsets = nn.Dense(nh * nl * np_ * 2, name="sampling_offsets",
                            kernel_init=nn.initializers.zeros)(query)
@@ -113,7 +129,7 @@ class MSDeformAttn(nn.Module):
             weights.reshape(b, lq, nh, nl * np_), axis=-1).reshape(
                 b, lq, nh, nl, np_)
 
-        shapes = jnp.asarray([[v.shape[2], v.shape[1]] for v in value_levels],
+        shapes = jnp.asarray([[w, h] for (h, w) in spatial_shapes],
                              jnp.float32)  # (levels, [W, H])
         if reference_points.shape[-1] == 2:
             loc = (reference_points[:, :, None, :, None, :]

@@ -1,28 +1,33 @@
 """GroundingDINO in JAX: open-vocabulary detection for prompt generation.
 
-Architecture (Swin-T + BERT + deformable transformer, per the SwinT-OGC
-config the reference loads at generate_prompts_gdino.py:33-34):
+Upstream-faithful port of IDEA-Research GroundingDINO (the SwinT-OGC model
+the reference loads at generate_prompts_gdino.py:33-34), validated
+weight-for-weight against the transformers GroundingDino implementation in
+tests/test_gdino_hf_parity.py. Structure:
 
-* Swin-T backbone -> 3 levels + an extra stride-64 level, all projected to
-  d_model=256;
-* BERT text encoder (sola_tpu.models.text RobertaEncoder in bert mode) with
-  a 768->256 feature projection;
-* feature enhancer: 6 layers of {image deformable self-attention, text
-  self-attention, bidirectional image<->text fusion};
-* language-guided query selection: top-900 positions by max text similarity;
-* cross-modality decoder: 6 layers of {query self-attn, query->text
-  cross-attn, query->image deformable attn} with iterative box refinement;
-* contrastive embedding head: logits against the text tokens
-  (prompt_generator.py:132-140 consumes pred_logits/pred_boxes).
+* Swin-T backbone (3 stages) + 1x1 projections + an extra stride-64 level;
+* BERT text encoder with sub-sentence self-attention masks and per-phrase
+  position ids (generate_masks_with_special_tokens, prompt_generator.py:150
+  semantics);
+* feature enhancer: 6 x {image<->text bidirectional fusion (BiMHA with layer
+  scale), text self-attention enhancer, image deformable self-attention};
+* two-stage language-guided query selection over masked proposals;
+* cross-modality decoder: 6 x {self-attn, query->text cross-attn,
+  query->image deformable attn} with shared-head iterative box refinement;
+* contrastive embedding head -> (pred_logits, pred_boxes)
+  (prompt_generator.py:132-140 consumes these).
 
-The deformable core is the XLA-native gather kernel in deformable.py —
-replacing the reference's CUDA extension (SURVEY.md §2.4).
+TPU-first notes: all shapes are static — images ride on a fixed padded
+canvas with a pixel mask (upstream's own batched-padding semantics), the
+deformable core is the XLA gather kernel in deformable.py, and the whole
+forward is one jit program.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+import math
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +37,8 @@ from flax import linen as nn
 from sola_tpu.models.text import RobertaConfig, RobertaEncoder
 from sola_tpu.trackgen.gdino.deformable import MSDeformAttn
 from sola_tpu.trackgen.gdino.swin import SwinConfig, SwinTransformer
-from sola_tpu.trackgen.sam2.common import MLP, sine_position_encoding
+
+NEG_INF = float("-inf")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -42,13 +48,20 @@ class GDINOConfig:
     d_model: int = 256
     n_heads: int = 8
     n_levels: int = 4
-    n_points: int = 4
+    enc_n_points: int = 4
+    dec_n_points: int = 4
     enc_layers: int = 6
     dec_layers: int = 6
     dim_feedforward: int = 2048
     num_queries: int = 900
     max_text_len: int = 256
-    image_size: int = 800
+    # sine PE temperature over image features (GroundingDINO uses 20)
+    pe_temperature: float = 20.0
+    layer_norm_eps: float = 1e-5
+    # inference canvas: shorter side target / longer side cap (upstream
+    # RandomResize([800], max_size=1333))
+    size_target: int = 800
+    size_max: int = 1333
 
     @classmethod
     def tiny_test(cls) -> "GDINOConfig":
@@ -56,165 +69,339 @@ class GDINOConfig:
                    text=dataclasses.replace(
                        RobertaConfig.tiny(), position_style="bert",
                        pad_token_id=0),
-                   d_model=32, n_heads=2, n_levels=4, n_points=2,
-                   enc_layers=1, dec_layers=1, dim_feedforward=64,
-                   num_queries=20, max_text_len=32, image_size=64)
+                   d_model=32, n_heads=2, n_levels=4, enc_n_points=2,
+                   dec_n_points=2, enc_layers=1, dec_layers=1,
+                   dim_feedforward=64, num_queries=20, max_text_len=32,
+                   size_target=64, size_max=64)
 
 
-def inverse_sigmoid(x: jax.Array, eps: float = 1e-3) -> jax.Array:
+def inverse_sigmoid(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     x = jnp.clip(x, eps, 1 - eps)
     return jnp.log(x / (1 - x))
 
 
-def box_sine_embed(boxes: jax.Array, dim_per_coord: int,
-                   temperature: float = 10000.0) -> jax.Array:
-    """Sine embedding of (B, N, 4) cxcywh boxes -> (B, N, 4*dim_per_coord)
-    (upstream gen_sineembed_for_position)."""
-    scale = 2.0 * np.pi
-    dim_t = jnp.arange(dim_per_coord, dtype=jnp.float32)
-    dim_t = temperature ** (2 * (dim_t // 2) / dim_per_coord)
-    pos = boxes[..., None] * scale / dim_t  # (B, N, 4, dim)
-    emb = jnp.stack([jnp.sin(pos[..., 0::2]), jnp.cos(pos[..., 1::2])],
-                    axis=-1).reshape(boxes.shape[:-1] + (-1,))
-    return emb
+def get_sine_pos_embed(pos: jax.Array, num_pos_feats: int,
+                       temperature: float = 10000.0,
+                       exchange_xy: bool = True) -> jax.Array:
+    """Upstream get_sine_pos_embed: (..., n) -> (..., n * num_pos_feats)."""
+    scale = 2.0 * math.pi
+    dim_t = jnp.arange(num_pos_feats, dtype=jnp.float32)
+    dim_t = temperature ** (2 * (dim_t // 2) / num_pos_feats)
+
+    def sine(x):  # (...,) -> (..., num_pos_feats)
+        sx = x[..., None] * scale / dim_t
+        return jnp.stack([jnp.sin(sx[..., 0::2]), jnp.cos(sx[..., 1::2])],
+                         axis=-1).reshape(x.shape + (num_pos_feats,))
+
+    parts = [sine(pos[..., i]) for i in range(pos.shape[-1])]
+    if exchange_xy and len(parts) >= 2:
+        parts[0], parts[1] = parts[1], parts[0]
+    return jnp.concatenate(parts, axis=-1)
+
+
+def sine_pos_from_mask(mask: jax.Array, d_model: int,
+                       temperature: float) -> jax.Array:
+    """Mask-aware image sine PE (upstream GroundingDinoSinePositionEmbedding):
+    mask (B, H, W) bool valid -> (B, H, W, d_model)."""
+    m = mask.astype(jnp.float32)
+    y = jnp.cumsum(m, axis=1)
+    x = jnp.cumsum(m, axis=2)
+    eps = 1e-6
+    scale = 2.0 * math.pi
+    y = y / (y[:, -1:, :] + eps) * scale
+    x = x / (x[:, :, -1:] + eps) * scale
+    half = d_model // 2
+    dim_t = jnp.arange(half, dtype=jnp.float32)
+    dim_t = temperature ** (2 * (dim_t // 2) / half)
+    px = x[..., None] / dim_t
+    py = y[..., None] / dim_t
+    px = jnp.stack([jnp.sin(px[..., 0::2]), jnp.cos(px[..., 1::2])],
+                   axis=-1).reshape(x.shape + (half,))
+    py = jnp.stack([jnp.sin(py[..., 0::2]), jnp.cos(py[..., 1::2])],
+                   axis=-1).reshape(y.shape + (half,))
+    return jnp.concatenate([py, px], axis=-1)
+
+
+# BERT [CLS], [SEP], '.', '?' — phrases are the spans between these
+BERT_SPECIAL_TOKENS = (101, 102, 1012, 1029)
+
+
+def generate_special_token_masks(input_ids: np.ndarray,
+                                 special_tokens=BERT_SPECIAL_TOKENS):
+    """Host-side replica of upstream generate_masks_with_special_tokens_and
+    _transfer_map: per-phrase block-diagonal self-attention masks + position
+    ids restarting at 0 inside each phrase.
+
+    Returns (attention_mask (B, L, L) bool, position_ids (B, L) int32).
+    """
+    input_ids = np.asarray(input_ids)
+    bs, num_token = input_ids.shape
+    special = np.isin(input_ids, np.asarray(special_tokens))
+    attention_mask = np.broadcast_to(np.eye(num_token, dtype=bool),
+                                     (bs, num_token, num_token)).copy()
+    position_ids = np.zeros((bs, num_token), np.int64)
+    idxs = np.argwhere(special)
+    previous_col = 0
+    for row, col in idxs:
+        if col in (0, num_token - 1):
+            attention_mask[row, col, col] = True
+            position_ids[row, col] = 0
+        else:
+            attention_mask[row, previous_col + 1: col + 1,
+                           previous_col + 1: col + 1] = True
+            position_ids[row, previous_col + 1: col + 1] = np.arange(
+                0, col - previous_col)
+        previous_col = col
+    return attention_mask, position_ids.astype(np.int32)
 
 
 class BiMultiHeadAttention(nn.Module):
-    """Bidirectional image<->text fusion (GDINO's fusion layer)."""
+    """Upstream GroundingDinoBiMultiHeadAttention: embed = ffn_dim // 2,
+    heads = n_heads // 2, scaled vision queries, global-max subtraction and
+    +-50000 clamping, separate value projections each side."""
     d_model: int
-    n_heads: int
+    embed_dim: int
+    num_heads: int
 
     @nn.compact
-    def __call__(self, img, txt, txt_mask):
-        d, h = self.d_model, self.n_heads
-        hd = d // h
-        b, li, _ = img.shape
-        lt = txt.shape[1]
-        qi = nn.Dense(d, name="img_q")(img).reshape(b, li, h, hd)
-        vi = nn.Dense(d, name="img_v")(img).reshape(b, li, h, hd)
-        qt = nn.Dense(d, name="txt_q")(txt).reshape(b, lt, h, hd)
-        vt = nn.Dense(d, name="txt_v")(txt).reshape(b, lt, h, hd)
-        scale = 1.0 / jnp.sqrt(jnp.asarray(hd, img.dtype))
-        sim = jnp.einsum("bihd,bthd->bhit", qi, qt,
-                         preferred_element_type=jnp.float32) * scale
-        sim_i2t = jnp.where(txt_mask[:, None, None, :] > 0, sim, -1e30)
-        attn_i = jax.nn.softmax(sim_i2t, axis=-1).astype(img.dtype)
-        img_out = jnp.einsum("bhit,bthd->bihd", attn_i, vt,
-                             preferred_element_type=jnp.float32)
-        attn_t = jax.nn.softmax(sim, axis=2).astype(img.dtype)
-        txt_out = jnp.einsum("bhit,bihd->bthd", attn_t, vi,
-                             preferred_element_type=jnp.float32)
-        img_out = nn.Dense(d, name="img_out")(
-            img_out.reshape(b, li, d).astype(img.dtype))
-        txt_out = nn.Dense(d, name="txt_out")(
-            txt_out.reshape(b, lt, d).astype(txt.dtype))
-        return img + img_out, txt + txt_out
+    def __call__(self, vision, text, vision_pad_mask, text_pad_mask):
+        """vision (B, Li, d); text (B, Lt, d); pad masks True = PADDING."""
+        e, h = self.embed_dim, self.num_heads
+        hd = e // h
+        b, li, _ = vision.shape
+        lt = text.shape[1]
+        scale = hd ** -0.5
+        vq = (nn.Dense(e, name="vision_proj")(vision) * scale).reshape(
+            b, li, h, hd)
+        tk = nn.Dense(e, name="text_proj")(text).reshape(b, lt, h, hd)
+        vv = nn.Dense(e, name="values_vision_proj")(vision).reshape(
+            b, li, h, hd)
+        tv = nn.Dense(e, name="values_text_proj")(text).reshape(b, lt, h, hd)
+
+        attn = jnp.einsum("bihd,bthd->bhit", vq, tk,
+                          preferred_element_type=jnp.float32)
+        attn = attn - jnp.max(attn)  # global max, as upstream
+        attn = jnp.clip(attn, -50000.0, 50000.0)
+
+        attn_t = attn.transpose(0, 1, 3, 2)  # (B, h, Lt, Li)
+        attn_t = attn_t - jnp.max(attn_t, axis=-1, keepdims=True)
+        attn_t = jnp.clip(attn_t, -50000.0, 50000.0)
+        if vision_pad_mask is not None:
+            attn_t = jnp.where(vision_pad_mask[:, None, None, :], NEG_INF,
+                               attn_t)
+        text_attn = jax.nn.softmax(attn_t, axis=-1)
+
+        if text_pad_mask is not None:
+            attn = jnp.where(text_pad_mask[:, None, None, :], NEG_INF, attn)
+        vision_attn = jax.nn.softmax(attn, axis=-1)
+
+        v_out = jnp.einsum("bhit,bthd->bihd", vision_attn, tv,
+                           preferred_element_type=jnp.float32)
+        t_out = jnp.einsum("bhti,bihd->bthd", text_attn, vv,
+                           preferred_element_type=jnp.float32)
+        v_out = nn.Dense(self.d_model, name="out_vision_proj")(
+            v_out.reshape(b, li, e).astype(vision.dtype))
+        t_out = nn.Dense(self.d_model, name="out_text_proj")(
+            t_out.reshape(b, lt, e).astype(text.dtype))
+        return v_out, t_out
 
 
-class EnhancerLayer(nn.Module):
+class FusionLayer(nn.Module):
     cfg: GDINOConfig
 
     @nn.compact
-    def __call__(self, img_levels, img_ref, txt, txt_mask):
+    def __call__(self, vision, text, vision_pad_mask, text_pad_mask):
         cfg = self.cfg
-        # fusion first (GDINO ordering: fusion -> text self-attn -> image)
-        flat = jnp.concatenate(
-            [v.reshape(v.shape[0], -1, cfg.d_model) for v in img_levels],
-            axis=1)
-        flat, txt = BiMultiHeadAttention(cfg.d_model, cfg.n_heads,
-                                         name="fusion")(flat, txt, txt_mask)
-        img_levels = _unflatten(flat, img_levels)
-
-        # text self-attention + FFN
-        t2 = nn.MultiHeadDotProductAttention(
-            num_heads=cfg.n_heads, name="text_attn")(
-                txt, mask=(txt_mask[:, None, None, :] > 0))
-        txt = nn.LayerNorm(name="text_norm1")(txt + t2)
-        t2 = nn.Dense(cfg.dim_feedforward, name="text_ffn1")(txt)
-        t2 = nn.Dense(cfg.d_model, name="text_ffn2")(nn.relu(t2))
-        txt = nn.LayerNorm(name="text_norm2")(txt + t2)
-
-        # image deformable self-attention + FFN
-        flat = jnp.concatenate(
-            [v.reshape(v.shape[0], -1, cfg.d_model) for v in img_levels],
-            axis=1)
-        i2 = MSDeformAttn(cfg.d_model, cfg.n_levels, cfg.n_heads,
-                          cfg.n_points, name="deform_attn")(
-                              flat, img_ref, img_levels)
-        flat = nn.LayerNorm(name="img_norm1")(flat + i2)
-        i2 = nn.Dense(cfg.dim_feedforward, name="img_ffn1")(flat)
-        i2 = nn.Dense(cfg.d_model, name="img_ffn2")(nn.relu(i2))
-        flat = nn.LayerNorm(name="img_norm2")(flat + i2)
-        return _unflatten(flat, img_levels), txt
+        vision = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
+                              name="layer_norm_vision")(vision)
+        text = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
+                            name="layer_norm_text")(text)
+        dv, dt = BiMultiHeadAttention(
+            cfg.d_model, cfg.dim_feedforward // 2, cfg.n_heads // 2,
+            name="attn")(vision, text, vision_pad_mask, text_pad_mask)
+        vision_param = self.param("vision_param",
+                                  nn.initializers.constant(1e-4),
+                                  (cfg.d_model,))
+        text_param = self.param("text_param", nn.initializers.constant(1e-4),
+                                (cfg.d_model,))
+        return vision + vision_param * dv, text + text_param * dt
 
 
-def _unflatten(flat, levels):
-    out = []
-    start = 0
-    for v in levels:
-        b, h, w, c = v.shape
-        out.append(flat[:, start:start + h * w].reshape(b, h, w, c))
-        start += h * w
-    return out
+class PlainMHA(nn.Module):
+    """Upstream GroundingDinoMultiheadAttention (batch-first, additive
+    mask)."""
+    d_model: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, q, k, v, attn_bias=None):
+        d, h = self.d_model, self.num_heads
+        hd = d // h
+        b, lq, _ = q.shape
+        lk = k.shape[1]
+        qh = nn.Dense(d, name="query")(q).reshape(b, lq, h, hd)
+        kh = nn.Dense(d, name="key")(k).reshape(b, lk, h, hd)
+        vh = nn.Dense(d, name="value")(v).reshape(b, lk, h, hd)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                            preferred_element_type=jnp.float32)
+        logits = logits / math.sqrt(hd)
+        if attn_bias is not None:
+            logits = logits + attn_bias
+        probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, vh,
+                         preferred_element_type=jnp.float32).astype(q.dtype)
+        return nn.Dense(d, name="out_proj")(out.reshape(b, lq, d))
+
+
+class TextEnhancerLayer(nn.Module):
+    """Text self-attention within sub-sentence blocks (post-norm)."""
+    cfg: GDINOConfig
+
+    @nn.compact
+    def __call__(self, text, self_mask_bias, pos_embed):
+        cfg = self.cfg
+        q = k = text + pos_embed
+        attn = PlainMHA(cfg.d_model, cfg.n_heads // 2, name="self_attn")(
+            q, k, text, self_mask_bias)
+        text = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
+                            name="layer_norm_before")(text + attn)
+        y = nn.Dense(cfg.dim_feedforward // 2, name="fc1")(text)
+        y = nn.Dense(cfg.d_model, name="fc2")(nn.relu(y))
+        return nn.LayerNorm(epsilon=cfg.layer_norm_eps,
+                            name="layer_norm_after")(text + y)
+
+
+class DeformableLayer(nn.Module):
+    """Image deformable self-attention + FFN (post-norm)."""
+    cfg: GDINOConfig
+
+    @nn.compact
+    def __call__(self, vision, pos_embed, reference_points, spatial_shapes,
+                 valid_mask):
+        cfg = self.cfg
+        attn = MSDeformAttn(cfg.d_model, cfg.n_levels, cfg.n_heads,
+                            cfg.enc_n_points, name="self_attn")(
+                                vision + pos_embed, reference_points, vision,
+                                spatial_shapes, value_mask=valid_mask)
+        vision = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
+                              name="self_attn_layer_norm")(vision + attn)
+        y = nn.Dense(cfg.dim_feedforward, name="fc1")(vision)
+        y = nn.Dense(cfg.d_model, name="fc2")(nn.relu(y))
+        return nn.LayerNorm(epsilon=cfg.layer_norm_eps,
+                            name="final_layer_norm")(vision + y)
+
+
+class EncoderLayer(nn.Module):
+    cfg: GDINOConfig
+
+    @nn.compact
+    def __call__(self, vision, text, pos_embed, reference_points,
+                 spatial_shapes, vision_valid, text_valid, text_self_mask,
+                 text_pos):
+        fused_v, fused_t = FusionLayer(self.cfg, name="fusion_layer")(
+            vision, text, vision_pad_mask=~vision_valid,
+            text_pad_mask=~text_valid)
+        # text self-attention restricted to sub-sentence blocks
+        bias = jnp.where(text_self_mask[:, None, :, :], 0.0, NEG_INF)
+        fused_t = TextEnhancerLayer(self.cfg, name="text_enhancer_layer")(
+            fused_t, bias, text_pos)
+        fused_v = DeformableLayer(self.cfg, name="deformable_layer")(
+            fused_v, pos_embed, reference_points, spatial_shapes,
+            vision_valid)
+        return fused_v, fused_t
+
+
+class MLPHead(nn.Module):
+    """GroundingDinoMLPPredictionHead: Linears with ReLU between."""
+    hidden_dim: int
+    output_dim: int
+    num_layers: int
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_layers - 1):
+            x = nn.relu(nn.Dense(self.hidden_dim, name=f"layer_{i}")(x))
+        return nn.Dense(self.output_dim,
+                        name=f"layer_{self.num_layers - 1}")(x)
 
 
 class DecoderLayer(nn.Module):
     cfg: GDINOConfig
 
     @nn.compact
-    def __call__(self, tgt, query_pos, reference_points, img_levels, txt,
-                 txt_mask):
+    def __call__(self, tgt, query_pos, reference_points, vision, text,
+                 spatial_shapes, vision_valid, text_valid):
         cfg = self.cfg
-        q = tgt + query_pos
-        t2 = nn.MultiHeadDotProductAttention(
-            num_heads=cfg.n_heads, name="self_attn")(q)
-        tgt = nn.LayerNorm(name="norm1")(tgt + t2)
-        # query -> text cross attention
-        t2 = nn.MultiHeadDotProductAttention(
-            num_heads=cfg.n_heads, name="text_cross_attn")(
-                tgt + query_pos, txt,
-                mask=(txt_mask[:, None, None, :] > 0))
-        tgt = nn.LayerNorm(name="norm2")(tgt + t2)
-        # query -> image deformable attention
-        t2 = MSDeformAttn(cfg.d_model, cfg.n_levels, cfg.n_heads,
-                          cfg.n_points, name="deform_attn")(
-                              tgt + query_pos, reference_points, img_levels)
-        tgt = nn.LayerNorm(name="norm3")(tgt + t2)
-        t2 = nn.Dense(cfg.dim_feedforward, name="ffn1")(tgt)
-        t2 = nn.Dense(cfg.d_model, name="ffn2")(nn.relu(t2))
-        return nn.LayerNorm(name="norm4")(tgt + t2)
+        q = k = tgt + query_pos
+        attn = PlainMHA(cfg.d_model, cfg.n_heads, name="self_attn")(q, k, tgt)
+        tgt = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
+                           name="self_attn_layer_norm")(tgt + attn)
+        text_bias = jnp.where(text_valid[:, None, None, :], 0.0, NEG_INF)
+        attn = PlainMHA(cfg.d_model, cfg.n_heads, name="encoder_attn_text")(
+            tgt + query_pos, text, text, text_bias)
+        tgt = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
+                           name="encoder_attn_text_layer_norm")(tgt + attn)
+        attn = MSDeformAttn(cfg.d_model, cfg.n_levels, cfg.n_heads,
+                            cfg.dec_n_points, name="encoder_attn")(
+                                tgt + query_pos, reference_points, vision,
+                                spatial_shapes, value_mask=vision_valid)
+        tgt = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
+                           name="encoder_attn_layer_norm")(tgt + attn)
+        y = nn.Dense(cfg.dim_feedforward, name="fc1")(tgt)
+        y = nn.Dense(cfg.d_model, name="fc2")(nn.relu(y))
+        return nn.LayerNorm(epsilon=cfg.layer_norm_eps,
+                            name="final_layer_norm")(tgt + y)
 
 
-class ContrastiveEmbed(nn.Module):
-    max_text_len: int
-
-    @nn.compact
-    def __call__(self, queries, txt, txt_mask):
-        logits = jnp.einsum("bqd,btd->bqt", queries, txt,
-                            preferred_element_type=jnp.float32)
-        logits = jnp.where(txt_mask[:, None, :] > 0, logits, -jnp.inf)
-        pad = self.max_text_len - logits.shape[-1]
-        if pad > 0:
-            logits = jnp.pad(logits, ((0, 0), (0, 0), (0, pad)),
-                             constant_values=-jnp.inf)
-        return logits[:, :, :self.max_text_len]
+def contrastive_logits(queries, text, text_valid, max_text_len):
+    """(B, nq, d) x (B, Lt, d) -> (B, nq, max_text_len), -inf padded."""
+    logits = jnp.einsum("bqd,btd->bqt", queries, text,
+                        preferred_element_type=jnp.float32)
+    logits = jnp.where(text_valid[:, None, :], logits, NEG_INF)
+    pad = max_text_len - logits.shape[-1]
+    if pad > 0:
+        logits = jnp.pad(logits, ((0, 0), (0, 0), (0, pad)),
+                         constant_values=NEG_INF)
+    return logits[:, :, :max_text_len]
 
 
 class GroundingDINO(nn.Module):
     cfg: GDINOConfig
 
     @nn.compact
-    def __call__(self, images: jax.Array, input_ids: jax.Array,
-                 attention_mask: jax.Array) -> dict:
-        """images (B, S, S, 3) normalized; text ids/mask (B, Lt).
+    def __call__(self, images: jax.Array, pixel_mask: jax.Array,
+                 input_ids: jax.Array, token_mask: jax.Array,
+                 text_self_mask: Optional[jax.Array] = None,
+                 position_ids: Optional[jax.Array] = None) -> dict:
+        """images (B, H, W, 3) normalized on a padded canvas; pixel_mask
+        (B, H, W) bool True = valid pixels; input_ids/token_mask (B, Lt);
+        text_self_mask (B, Lt, Lt) bool sub-sentence blocks; position_ids
+        (B, Lt) per-phrase positions.
 
-        Returns {"pred_logits": (B, nq, max_text_len) — sigmoid-ready,
-        "pred_boxes": (B, nq, 4) cxcywh in [0, 1]}.
+        Returns {"pred_logits": (B, nq, max_text_len) (-inf padded),
+        "pred_boxes": (B, nq, 4) cxcywh in [0,1], "encoder_text",
+        "init_reference_points"}.
         """
         cfg = self.cfg
         b = images.shape[0]
+        token_mask = token_mask.astype(bool)
+        if text_self_mask is None:
+            # always keep the diagonal so padded rows have one key (the
+            # generated sub-sentence masks do the same)
+            text_self_mask = ((token_mask[:, :, None]
+                               & token_mask[:, None, :])
+                              | jnp.eye(input_ids.shape[1], dtype=bool))
+        if position_ids is None:
+            position_ids = jnp.broadcast_to(
+                jnp.arange(input_ids.shape[1], dtype=jnp.int32)[None],
+                input_ids.shape)
 
-        # ---- backbone + input projections -> 4 levels of d_model ----
+        # ---- text backbone + projection ----
+        txt = RobertaEncoder(cfg.text, name="bert")(
+            input_ids, text_self_mask, position_ids=position_ids)
+        txt = nn.Dense(cfg.d_model, name="feat_map")(txt)
+
+        # ---- vision backbone -> 4 levels + per-level masks/PE ----
         feats = SwinTransformer(cfg.swin, name="backbone")(images)
         levels = []
         for i, f in enumerate(feats):
@@ -222,87 +409,195 @@ class GroundingDINO(nn.Module):
             x = nn.GroupNorm(num_groups=32 if cfg.d_model % 32 == 0 else 1,
                              name=f"input_proj_norm_{i}")(x)
             levels.append(x)
-        extra = nn.Conv(cfg.d_model, (3, 3), strides=(2, 2),
+        if cfg.n_levels > len(levels):
+            x = nn.Conv(cfg.d_model, (3, 3), strides=(2, 2),
                         padding=[(1, 1), (1, 1)],
-                        name="input_proj_extra")(feats[-1])
-        extra = nn.GroupNorm(num_groups=32 if cfg.d_model % 32 == 0 else 1,
-                             name="input_proj_extra_norm")(extra)
-        levels.append(extra)
+                        name=f"input_proj_{len(levels)}")(feats[-1])
+            x = nn.GroupNorm(num_groups=32 if cfg.d_model % 32 == 0 else 1,
+                             name=f"input_proj_norm_{len(levels)}")(x)
+            levels.append(x)
 
-        # positional + level embeddings
-        level_embed = self.param("level_embed",
-                                 nn.initializers.normal(1.0),
+        def level_mask(v):
+            # upstream: F.interpolate(mask.float(), feat hw).to(bool) with
+            # the default nearest mode — src index = floor(dst * in/out)
+            oh, ow = v.shape[1], v.shape[2]
+            ih, iw = pixel_mask.shape[1], pixel_mask.shape[2]
+            yi = jnp.floor(jnp.arange(oh) * (ih / oh)).astype(jnp.int32)
+            xi = jnp.floor(jnp.arange(ow) * (iw / ow)).astype(jnp.int32)
+            return pixel_mask[:, yi][:, :, xi]
+
+        masks = [level_mask(v) for v in levels]
+        level_embed = self.param("level_embed", nn.initializers.normal(1.0),
                                  (cfg.n_levels, cfg.d_model))
-        pos_levels = []
-        for i, v in enumerate(levels):
-            pos = sine_position_encoding(v.shape[1], v.shape[2], cfg.d_model)
-            pos_levels.append(pos[None] + level_embed[i])
-        levels = [v + p for v, p in zip(levels, pos_levels)]
+        pos_levels = [
+            sine_pos_from_mask(m, cfg.d_model, cfg.pe_temperature)
+            for m in masks
+        ]
+        spatial_shapes = [(v.shape[1], v.shape[2]) for v in levels]
 
-        # ---- text encoder + projection ----
-        txt = RobertaEncoder(cfg.text, name="bert")(input_ids,
-                                                    attention_mask)
-        txt = nn.Dense(cfg.d_model, name="feat_map")(txt)
+        flat = jnp.concatenate(
+            [v.reshape(b, -1, cfg.d_model) for v in levels], axis=1)
+        pos_flat = jnp.concatenate(
+            [(p + level_embed[i]).reshape(b, -1, cfg.d_model)
+             for i, p in enumerate(pos_levels)], axis=1)
+        valid_flat = jnp.concatenate([m.reshape(b, -1) for m in masks],
+                                     axis=1)
 
-        # ---- reference grid for encoder deformable self-attention ----
+        # valid ratios per level (upstream get_valid_ratio)
+        ratios = []
+        for m in masks:
+            vh = jnp.sum(m[:, :, 0].astype(jnp.float32), axis=1) / m.shape[1]
+            vw = jnp.sum(m[:, 0, :].astype(jnp.float32), axis=1) / m.shape[2]
+            ratios.append(jnp.stack([vw, vh], axis=-1))
+        valid_ratios = jnp.stack(ratios, axis=1)  # (B, n_levels, 2)
+
+        # encoder reference points (per level grid scaled by valid ratios)
         refs = []
-        for v in levels:
-            h, w = v.shape[1], v.shape[2]
-            ys = (jnp.arange(h) + 0.5) / h
-            xs = (jnp.arange(w) + 0.5) / w
-            grid = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1)
-            refs.append(grid.reshape(-1, 2))
-        ref_pts = jnp.concatenate(refs, axis=0)  # (sumHW, 2)
-        img_ref = jnp.broadcast_to(
-            ref_pts[None, :, None, :],
-            (b, ref_pts.shape[0], cfg.n_levels, 2))
+        for lvl, (h, w) in enumerate(spatial_shapes):
+            ry = (jnp.arange(h, dtype=jnp.float32) + 0.5)
+            rx = (jnp.arange(w, dtype=jnp.float32) + 0.5)
+            gy, gx = jnp.meshgrid(ry, rx, indexing="ij")
+            ref = jnp.stack([gx.reshape(-1), gy.reshape(-1)], -1)  # (hw, 2)
+            ref = ref[None] / (valid_ratios[:, None, lvl]
+                               * jnp.asarray([w, h], jnp.float32))
+            refs.append(ref)
+        ref_pts = jnp.concatenate(refs, axis=1)  # (B, L, 2)
+        enc_ref = ref_pts[:, :, None, :] * valid_ratios[:, None]
+
+        # text position embedding for the enhancer
+        text_pos = get_sine_pos_embed(
+            position_ids[..., None].astype(jnp.float32), cfg.d_model,
+            exchange_xy=False)
 
         # ---- feature enhancer ----
         for i in range(cfg.enc_layers):
-            levels, txt = EnhancerLayer(cfg, name=f"enc_{i}")(
-                levels, img_ref, txt, attention_mask)
+            flat, txt = EncoderLayer(cfg, name=f"enc_{i}")(
+                flat, txt, pos_flat, enc_ref, spatial_shapes, valid_flat,
+                token_mask, text_self_mask, text_pos)
 
-        # ---- language-guided query selection ----
-        memory = jnp.concatenate(
-            [v.reshape(b, -1, cfg.d_model) for v in levels], axis=1)
-        enc_out = nn.LayerNorm(name="enc_out_norm")(
-            nn.Dense(cfg.d_model, name="enc_out_proj")(memory))
-        sim = ContrastiveEmbed(cfg.max_text_len, name="enc_class")(
-            enc_out, txt, attention_mask)
-        scores = jnp.max(jnp.where(jnp.isfinite(sim), sim, -1e30), axis=-1)
-        nq = min(cfg.num_queries, scores.shape[1])
-        _, topk = jax.lax.top_k(scores, nq)
+        # ---- two-stage query selection ----
+        proposals = []
+        start = 0
+        for lvl, (h, w) in enumerate(spatial_shapes):
+            m = valid_flat[:, start:start + h * w].reshape(b, h, w)
+            vh = jnp.sum(m[:, :, 0].astype(jnp.float32), 1)  # (B,)
+            vw = jnp.sum(m[:, 0, :].astype(jnp.float32), 1)
+            gy, gx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                                  jnp.arange(w, dtype=jnp.float32),
+                                  indexing="ij")
+            grid = jnp.stack([gx, gy], -1)[None]  # (1, h, w, 2)
+            scale = jnp.stack([vw, vh], -1).reshape(b, 1, 1, 2)
+            grid = (grid + 0.5) / scale
+            wh = jnp.full_like(grid, 0.05 * (2.0 ** lvl))
+            proposals.append(
+                jnp.concatenate([grid, wh], -1).reshape(b, -1, 4))
+            start += h * w
+        output_proposals = jnp.concatenate(proposals, axis=1)
+        proposals_valid = jnp.all(
+            (output_proposals > 0.01) & (output_proposals < 0.99), axis=-1,
+            keepdims=True)
+        output_proposals = jnp.log(output_proposals
+                                   / (1.0 - output_proposals))
+        bad = (~valid_flat[..., None]) | (~proposals_valid)
+        output_proposals = jnp.where(bad, jnp.inf, output_proposals)
 
-        anchors = jnp.take_along_axis(
-            jnp.broadcast_to(ref_pts[None], (b,) + ref_pts.shape),
-            topk[..., None], axis=1)  # (B, nq, 2)
-        sel = jnp.take_along_axis(enc_out, topk[..., None], axis=1)
-        delta = MLP(cfg.d_model, 4, 3, name="enc_bbox_head")(sel)
-        wh_init = jnp.full_like(anchors, 0.1)
-        ref_box = jnp.concatenate([anchors, wh_init], axis=-1)
-        ref_box = jax.nn.sigmoid(inverse_sigmoid(ref_box) + delta)
+        object_query = jnp.where(bad, 0.0, flat)
+        object_query = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, name="enc_output_norm")(
+                nn.Dense(cfg.d_model, name="enc_output")(object_query))
+        enc_logits = contrastive_logits(object_query, txt, token_mask,
+                                        cfg.max_text_len)
+        delta = MLPHead(cfg.d_model, 4, 3,
+                        name="encoder_output_bbox_embed")(object_query)
+        enc_coord_logits = delta + output_proposals
 
-        # ---- cross-modality decoder with iterative refinement ----
-        tgt = self.param("tgt_embed", nn.initializers.normal(1.0),
-                         (cfg.num_queries, cfg.d_model))[:nq]
-        tgt = jnp.broadcast_to(tgt[None], (b, nq, cfg.d_model))
-        bbox_head = MLP(cfg.d_model, 4, 3, name="bbox_head")
-        query_pos_head = MLP(cfg.d_model, cfg.d_model, 2,
-                             name="query_pos_head")
+        nq = min(cfg.num_queries, enc_logits.shape[1])
+        topk_scores = jnp.max(
+            jnp.where(jnp.isfinite(enc_logits), enc_logits, -1e30), axis=-1)
+        _, topk = jax.lax.top_k(topk_scores, nq)
+        topk_coords = jnp.take_along_axis(
+            enc_coord_logits, topk[..., None], axis=1)
+        reference_points = jax.nn.sigmoid(
+            jax.lax.stop_gradient(topk_coords))
+        init_reference_points = reference_points
+
+        query_embed = self.param("query_embed", nn.initializers.normal(1.0),
+                                 (cfg.num_queries, cfg.d_model))
+        tgt = jnp.broadcast_to(query_embed[None, :nq],
+                               (b, nq, cfg.d_model))
+
+        # ---- decoder with shared-head iterative refinement ----
+        bbox_head = MLPHead(cfg.d_model, 4, 3, name="bbox_embed")
+        ref_point_head = MLPHead(cfg.d_model, cfg.d_model, 2,
+                                 name="reference_points_head")
+        decoder_norm = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
+                                    name="decoder_layer_norm")
         for i in range(cfg.dec_layers):
-            query_pos = query_pos_head(
-                box_sine_embed(ref_box, cfg.d_model // 2))
-            dec_ref = jnp.broadcast_to(
-                ref_box[:, :, None, :], (b, nq, cfg.n_levels, 4))
+            ref_input = (reference_points[:, :, None]
+                         * jnp.concatenate([valid_ratios, valid_ratios],
+                                           -1)[:, None])
+            query_pos = ref_point_head(get_sine_pos_embed(
+                ref_input[:, :, 0, :], cfg.d_model // 2))
             tgt = DecoderLayer(cfg, name=f"dec_{i}")(
-                tgt, query_pos, dec_ref, levels, txt, attention_mask)
+                tgt, query_pos, ref_input, flat, txt, spatial_shapes,
+                valid_flat, token_mask)
             delta = bbox_head(tgt)
-            ref_box = jax.nn.sigmoid(inverse_sigmoid(ref_box) + delta)
-            ref_box = jax.lax.stop_gradient(ref_box)
+            reference_points = jax.lax.stop_gradient(jax.nn.sigmoid(
+                delta + inverse_sigmoid(reference_points)))
 
-        logits = ContrastiveEmbed(cfg.max_text_len, name="class_head")(
-            tgt, txt, attention_mask)
-        return {"pred_logits": logits, "pred_boxes": ref_box}
+        final = decoder_norm(tgt)
+        logits = contrastive_logits(final, txt, token_mask, cfg.max_text_len)
+        return {
+            "pred_logits": logits,
+            "pred_boxes": reference_points,
+            "encoder_text": txt,
+            "init_reference_points": init_reference_points,
+        }
+
+
+# ---------------------------------------------------------------------------
+# Preprocessing (upstream datasets.transforms semantics)
+# ---------------------------------------------------------------------------
+
+IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+
+
+def resize_shape(h: int, w: int, target: int, max_size: int):
+    """Upstream get_size_with_aspect_ratio: shorter side -> target, capped so
+    the longer side stays <= max_size."""
+    if max_size is not None:
+        min_side, max_side = float(min(h, w)), float(max(h, w))
+        if max_side / min_side * target > max_size:
+            target = int(round(max_size * min_side / max_side))
+    if (h <= w and h == target) or (w <= h and w == target):
+        return h, w
+    if h < w:
+        oh = target
+        ow = int(round(target * w / h))
+    else:
+        ow = target
+        oh = int(round(target * h / w))
+    return oh, ow
+
+
+def preprocess_image(image: np.ndarray, cfg: GDINOConfig):
+    """uint8 (H, W, 3) -> (canvas, pixel_mask, (oh, ow)) on a fixed padded
+    canvas (static jit shapes; the mask carries the true extent, exactly how
+    upstream batches mixed sizes)."""
+    h, w = image.shape[:2]
+    oh, ow = resize_shape(h, w, cfg.size_target, cfg.size_max)
+    img = jax.image.resize(jnp.asarray(image, jnp.float32), (oh, ow, 3),
+                           method="linear")
+    img = (img / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    ch = cfg.size_max if oh > ow else cfg.size_target
+    cw = cfg.size_max if ow >= oh else cfg.size_target
+    ch, cw = max(ch, oh), max(cw, ow)
+    canvas = jnp.zeros((ch, cw, 3), jnp.float32)
+    canvas = canvas.at[:oh, :ow].set(img)
+    mask = np.zeros((ch, cw), bool)
+    mask[:oh, :ow] = True
+    return canvas, jnp.asarray(mask), (oh, ow)
 
 
 # ---------------------------------------------------------------------------
@@ -317,15 +612,40 @@ class GroundingModel:
         self.model = model
         self.cfg = model.cfg
         self.variables = variables
+        self.hf_tokenizer = tokenizer is not None and hasattr(
+            tokenizer, "decode")
         if tokenizer is None:
             from sola_tpu.models.text import HashTokenizer
             tokenizer = HashTokenizer(self.cfg.text.vocab_size,
                                       self.cfg.text.pad_token_id)
         self.tokenizer = tokenizer
-        self.max_text_len = max_text_len
+        self.max_text_len = min(max_text_len, self.cfg.max_text_len)
         # variables as explicit jit args (no closure-baked constants)
         self._forward = jax.jit(
-            lambda v, img, ids, mask: model.apply(v, img, ids, mask))
+            lambda v, img, pmask, ids, tmask, smask, pids: model.apply(
+                v, img, pmask, ids, tmask, smask, pids))
+
+    def _tokenize(self, text: str):
+        if self.hf_tokenizer:
+            out = self.tokenizer([text], return_tensors="np",
+                                 padding="max_length", truncation=True,
+                                 max_length=self.max_text_len)
+            ids = np.asarray(out["input_ids"], np.int32)
+            mask = np.asarray(out["attention_mask"], np.int32)
+        else:
+            ids, mask = self.tokenizer([text], max_len=self.max_text_len)
+            ids = np.asarray(ids, np.int32)
+            mask = np.asarray(mask, np.int32)
+        if self.hf_tokenizer or not hasattr(self.tokenizer, "bos_token_id"):
+            specials = BERT_SPECIAL_TOKENS
+        else:  # HashTokenizer: sentence boundaries are its bos/eos
+            specials = (self.tokenizer.bos_token_id,
+                        self.tokenizer.eos_token_id)
+        smask, pids = generate_special_token_masks(ids, specials)
+        # restrict sub-sentence blocks to real tokens
+        smask = smask & (mask[:, None, :] > 0) & (mask[:, :, None] > 0)
+        smask |= np.eye(ids.shape[1], dtype=bool)[None]
+        return ids, mask, smask, pids
 
     def get_boxes(self, image: np.ndarray, text: str,
                   box_threshold: float = 0.2,
@@ -333,19 +653,15 @@ class GroundingModel:
         """Returns [{"bbox": xyxy pixels, "phrase": str,
         "token_score": [...]}] (prompt_generator.py:133-160 semantics)."""
         h, w = image.shape[:2]
-        s = self.cfg.image_size
-        img = jax.image.resize(jnp.asarray(image, jnp.float32), (s, s, 3),
-                               method="linear") / 255.0
-        mean = jnp.asarray([0.485, 0.456, 0.406])
-        std = jnp.asarray([0.229, 0.224, 0.225])
-        img = (img - mean) / std
-        ids, mask = self.tokenizer([text], max_len=self.max_text_len)
-        out = self._forward(self.variables, img[None], jnp.asarray(ids),
-                            jnp.asarray(mask))
-        logits = jax.nn.sigmoid(out["pred_logits"][0])
-        logits = np.asarray(jnp.where(jnp.isfinite(logits), logits, 0.0))
+        canvas, pmask, _ = preprocess_image(image, self.cfg)
+        ids, tmask, smask, pids = self._tokenize(text)
+        out = self._forward(self.variables, canvas[None], pmask[None],
+                            jnp.asarray(ids), jnp.asarray(tmask),
+                            jnp.asarray(smask), jnp.asarray(pids))
+        logits = np.asarray(jax.nn.sigmoid(out["pred_logits"][0]))
+        logits = np.where(np.isfinite(logits), logits, 0.0)
         boxes = np.asarray(out["pred_boxes"][0])
-        n_tokens = int(mask.sum())
+        n_tokens = int(tmask.sum())
         keep = logits.max(axis=-1) > box_threshold
         preds = []
         for i in np.nonzero(keep)[0]:
@@ -355,7 +671,7 @@ class GroundingModel:
                 (cx + bw / 2) * w, (cy + bh / 2) * h,
             ], np.float32)
             token_mask = logits[i, :n_tokens] > text_threshold
-            phrase = self._phrase_from_posmap(text, token_mask)
+            phrase = self._phrase_from_posmap(ids[0], token_mask, text)
             preds.append({
                 "phrase": phrase,
                 "bbox": bbox,
@@ -363,9 +679,15 @@ class GroundingModel:
             })
         return preds
 
-    def _phrase_from_posmap(self, text: str, token_mask: np.ndarray) -> str:
-        """Best-effort phrase reconstruction: without a subword decoder the
-        hash tokenizer maps token positions 1..n-2 onto whitespace words."""
+    def _phrase_from_posmap(self, input_ids: np.ndarray,
+                            token_mask: np.ndarray, text: str) -> str:
+        """Upstream get_phrases_from_posmap: decode the token ids the posmap
+        selects (BPE-correct with a real tokenizer); hash fallback maps
+        positions onto whitespace words."""
+        if self.hf_tokenizer:
+            sel = [int(input_ids[i]) for i in np.nonzero(token_mask)[0]
+                   if int(input_ids[i]) not in BERT_SPECIAL_TOKENS]
+            return self.tokenizer.decode(sel)
         words = text.rstrip(".").split()
         picked = [words[i - 1] for i in range(1, len(words) + 1)
                   if i < len(token_mask) and token_mask[i]]
@@ -382,10 +704,12 @@ def build_gdino(ckpt_path: Optional[str] = None,
         return model, variables
     cfg = cfg or GDINOConfig()
     model = GroundingDINO(cfg)
-    img = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
+    s = cfg.size_target
+    img = jnp.zeros((1, s, s, 3), jnp.float32)
+    pmask = jnp.ones((1, s, s), bool)
     ids = jnp.zeros((1, 8), jnp.int32)
     mask = jnp.ones((1, 8), jnp.int32)
-    variables = model.init(jax.random.PRNGKey(seed), img, ids, mask)
+    variables = model.init(jax.random.PRNGKey(seed), img, pmask, ids, mask)
     return model, variables
 
 

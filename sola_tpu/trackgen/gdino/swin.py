@@ -110,8 +110,13 @@ class SwinBlock(nn.Module):
         b, h, w, c = x.shape
         shortcut = x
         x = nn.LayerNorm(name="norm1")(x)
-        window = min(self.window, max(h, w))
-        shift = self.shift if window < min(h, w) else 0
+        # HF Swin rule: a resolution at or below the window size collapses to
+        # one unshifted window (identical to upstream at real sizes, where
+        # every level exceeds the window)
+        window, shift = self.window, self.shift
+        if min(h, w) <= window:
+            window = min(h, w)
+            shift = 0
         if shift > 0:
             x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
         xw, pad_hw = window_partition(x, window)

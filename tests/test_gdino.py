@@ -86,10 +86,12 @@ def tiny_gdino():
 
 def test_gdino_forward(tiny_gdino):
     (model, variables), cfg = tiny_gdino
-    img = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
+    s = cfg.size_target
+    img = jnp.zeros((1, s, s, 3), jnp.float32)
+    pmask = jnp.ones((1, s, s), bool)
     ids = jnp.asarray([[0, 5, 9, 2, 0, 0]], jnp.int32)
     mask = jnp.asarray([[1, 1, 1, 1, 0, 0]], jnp.int32)
-    out = model.apply(variables, img, ids, mask)
+    out = model.apply(variables, img, pmask, ids, mask)
     nq = out["pred_boxes"].shape[1]
     assert out["pred_logits"].shape == (1, nq, cfg.max_text_len)
     assert out["pred_boxes"].shape == (1, nq, 4)
