@@ -128,6 +128,70 @@ def bench_train_step(batch: int = 8, n_tracks: int = 64, n_frames: int = 64,
             round((n_steps * batch) / best, 2)}
 
 
+def bench_loader_train(n_videos: int = 24, n_objects: int = 4,
+                       n_distractors: int = 36, n_frames: int = 64,
+                       batch: int = 8, epochs: int = 2) -> dict:
+    """Measured loader+train throughput on an on-disk synthetic dataset
+    (sam2_tracks layout, one token .npy per track like the reference's
+    dataloader.py:162): does the input pipeline feed the train step?"""
+    import shutil
+    import tempfile
+
+    import jax
+
+    from sola_tpu.data import synthetic
+    from sola_tpu.data.dataset import get_loader_dict
+    from sola_tpu.models.selection import SelectionConfig, SelectionModel
+    from sola_tpu.models.text import CachingTextEncoder, HashTextEncoder
+    from sola_tpu.train import state as state_lib
+    from sola_tpu.train.loop import make_train_step, prepare_batch
+
+    root = tempfile.mkdtemp(prefix="sola_bench_loader_")
+    try:
+        gen = synthetic.generate(
+            root, n_videos=n_videos, n_frames=n_frames, n_objects=n_objects,
+            n_distractors=n_distractors, data_type="train")
+        cfgs = gen["configs"]
+        cfgs["train"]["batch_size"] = batch
+        cfgs["num_workers"] = 4
+        loader = get_loader_dict(cfgs)["train"]
+
+        cfg = SelectionConfig()
+        model = SelectionModel(cfg)
+        optimizer = state_lib.make_optimizer(lr=5e-6, grad_clip_norm=1.0)
+        tstate = state_lib.create_train_state(cfg, optimizer)
+        train_cfg = {"positive_weight": 1.5, "alignment_weight": 0.3,
+                     "temperature": 0.07, "positive_metric": "iou",
+                     "positive_threshold": 0.7}
+        step = make_train_step(model, optimizer, train_cfg)
+        text = CachingTextEncoder(HashTextEncoder(cfg.lang_token_dim))
+        key = jax.random.PRNGKey(0)
+
+        n_pairs = n_videos * n_objects
+
+        def one_epoch(st):
+            n = 0
+            for raw in loader:
+                b = prepare_batch(raw, text, train_cfg)
+                st, _ = step(st, b, key)
+                n += int(np.sum(np.asarray(raw["track_mask"]).any(axis=1)))
+            jax.block_until_ready(st.params)
+            return st, n
+
+        tstate, _ = one_epoch(tstate)  # warmup: compiles + text cache
+        t0 = time.perf_counter()
+        total = 0
+        for _ in range(epochs):
+            tstate, n = one_epoch(tstate)
+            total += n
+        elapsed = time.perf_counter() - t0
+        return {"loader_train_pairs_per_s": round(total / elapsed, 2),
+                "loader_epoch_s": round(elapsed / epochs, 2),
+                "loader_epoch_pairs": n_pairs}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def bench_trackgen(n_frames: int, obj_batch: int = 4) -> dict:
     import jax
 
@@ -177,11 +241,19 @@ def main() -> None:
     metrics: dict = {}
     errors: dict = {}
     for name, fn in [("selection", bench_selection),
-                     ("train", bench_train_step)]:
+                     ("train", bench_train_step),
+                     ("loader", bench_loader_train)]:
         try:
             metrics.update(fn())
         except Exception as e:  # report partial results, never crash
             errors[name] = f"{type(e).__name__}: {e}"
+    if ("loader_train_pairs_per_s" in metrics
+            and "selection_train_pairs_per_s" in metrics):
+        # fraction of wall time the step sits idle waiting on input (approx:
+        # resident-batch throughput as the compute-bound ceiling)
+        ratio = (metrics["loader_train_pairs_per_s"]
+                 / metrics["selection_train_pairs_per_s"])
+        metrics["train_step_idle_frac"] = round(max(0.0, 1.0 - ratio), 3)
     if os.environ.get("SOLA_BENCH_SKIP_TRACKGEN") != "1":
         try:
             metrics.update(bench_trackgen(

@@ -12,6 +12,12 @@ TPU design: the J&F inner loop is one fused device program per expression
 (core.mask_ops.compute_JF) over HBM-resident (T, H, W) tensors; RLE decode
 runs on host threads via the native codec and overlaps device compute via a
 one-expression lookahead.
+
+INTENTIONAL DIVERGENCE (DIVERGENCES.md #1): the reference computes its eval
+"loss" as BCE-with-logits over *sigmoided* scores (evaluator.py:107), unlike
+training (train.py:100-104). Here eval uses the train-time definition
+(logits), so reported eval losses will not match reference logs; J&F,
+selection decisions, and every other metric are unaffected.
 """
 
 from __future__ import annotations
