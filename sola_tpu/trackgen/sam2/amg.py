@@ -127,6 +127,13 @@ class SAM2AutomaticMaskGenerator:
         masks = self.predictor.finalize_masks(
             low_all, h, w)[:k].astype(bool)
 
+        if self.min_mask_region_area > 0:
+            masks, kept_iou, kept_stab, kept_pts = \
+                self._postprocess_small_regions(masks, kept_iou, kept_stab,
+                                                kept_pts)
+            if len(masks) == 0:
+                return []
+
         boxes = np.stack([box_from_mask(m) for m in masks], axis=0)
         areas = masks.reshape(len(masks), -1).sum(axis=1)
         nonempty = areas > max(self.min_mask_region_area, 0)
@@ -149,3 +156,23 @@ class SAM2AutomaticMaskGenerator:
             })
         records.sort(key=lambda r: r["area"], reverse=True)
         return records
+
+    def _postprocess_small_regions(self, masks, ious, stabs, pts):
+        """Upstream postprocess_small_regions (the CUDA-CCL path,
+        SURVEY.md §2.4 item 3): fill small holes, drop small islands, then
+        NMS over the recomputed boxes preferring unchanged masks."""
+        from sola_tpu.core.ccl import remove_small_regions
+
+        area = self.min_mask_region_area
+        new_masks, unchanged_scores = [], []
+        for m in masks:
+            m2, ch1 = remove_small_regions(m, area, "holes")
+            m3, ch2 = remove_small_regions(m2, area, "islands")
+            new_masks.append(m3)
+            unchanged_scores.append(float(not (ch1 or ch2)))
+        new_masks = np.stack(new_masks, axis=0)
+        boxes = np.stack([box_from_mask(m) for m in new_masks], axis=0)
+        keep = nms(boxes, np.asarray(unchanged_scores), self.box_nms_thresh)
+        keep = np.sort(keep)
+        return (new_masks[keep], [ious[i] for i in keep],
+                [stabs[i] for i in keep], [pts[i] for i in keep])
