@@ -81,9 +81,13 @@ class MultiHeadAttention(nn.Module):
         kh = kp.reshape(b, lk, h, hd).transpose(0, 2, 1, 3)
         vh = vp.reshape(b, lk, h, hd).transpose(0, 2, 1, 3)
 
-        if self.use_pallas and key_mask is None and deterministic:
+        # the fused kernel handles key-validity masks and has a custom_vjp
+        # backward; only attention-prob dropout (train-time, torch SDPA
+        # placement) forces the dense path — dropout inside an online-softmax
+        # kernel would change the train-time math
+        if self.use_pallas and (deterministic or self.dropout_p == 0.0):
             from sola_tpu.ops.flash_attention import fused_attention
-            out = fused_attention(qh, kh, vh)
+            out = fused_attention(qh, kh, vh, key_mask=key_mask)
         else:
             scale = 1.0 / jnp.sqrt(jnp.asarray(hd, qh.dtype))
             logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,

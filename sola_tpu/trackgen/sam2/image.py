@@ -44,6 +44,11 @@ class SAM2ImagePredictor:
             v, img, method=SAM2Model.encode_image))
 
         def _predict(v, pix, s0, s1, coords, labels, multimask):
+            # batch-1 features in, per-prompt broadcast fused inside jit
+            n = coords.shape[0]
+            pix = jnp.broadcast_to(pix, (n,) + pix.shape[1:])
+            s0 = jnp.broadcast_to(s0, (n,) + s0.shape[1:])
+            s1 = jnp.broadcast_to(s1, (n,) + s1.shape[1:])
             return model.apply(v, pix, s0, s1, coords, labels, None,
                                multimask, method=SAM2Model.sam_heads)
 
@@ -55,11 +60,20 @@ class SAM2ImagePredictor:
                                                   True))
 
         # AMG fast path: everything stays on device; only (iou, stability)
-        # scalars come back per proposal. High-res masks are never built —
-        # host<->device bandwidth is the binding constraint for dense
-        # proposal generation (each high-res fetch is ~GBs per frame).
+        # scalars come back per proposal. High-res masks are never built
+        # (compute_high_res=False skips the 128 x 3 x S^2 upscale the
+        # upstream AMG pays per point batch), and the image features enter
+        # the program at batch 1 — the per-prompt broadcast happens inside
+        # jit where XLA fuses it into the decoder instead of materializing
+        # N copies in HBM.
         def _propose(v, pix, s0, s1, coords, labels, stability_offset):
-            out = _predict(v, pix, s0, s1, coords, labels, True)
+            n = coords.shape[0]
+            pix_n = jnp.broadcast_to(pix, (n,) + pix.shape[1:])
+            s0_n = jnp.broadcast_to(s0, (n,) + s0.shape[1:])
+            s1_n = jnp.broadcast_to(s1, (n,) + s1.shape[1:])
+            out = model.apply(v, pix_n, s0_n, s1_n, coords, labels, None,
+                              True, compute_high_res=False,
+                              method=SAM2Model.sam_heads)
             low = out["low_res_masks"]          # (N, 3, 4h, 4w) fp32
             inter = jnp.sum(low > stability_offset, axis=(-2, -1))
             union = jnp.sum(low > -stability_offset, axis=(-2, -1))
@@ -102,14 +116,10 @@ class SAM2ImagePredictor:
         assert self._feats is not None, "call set_image first"
         coords = self._scale_coords(np.asarray(point_coords, np.float32))
         labels = np.ones(coords.shape[:2], np.int32)
-        n = coords.shape[0]
         f = self._feats
-        pix = jnp.broadcast_to(f["pix"], (n,) + f["pix"].shape[1:])
-        s0 = jnp.broadcast_to(f["s0"], (n,) + f["s0"].shape[1:])
-        s1 = jnp.broadcast_to(f["s1"], (n,) + f["s1"].shape[1:])
         ious, stab, low = self._propose(
-            self.compute_variables, pix, s0, s1, jnp.asarray(coords),
-            jnp.asarray(labels), stability_offset)
+            self.compute_variables, f["pix"], f["s0"], f["s1"],
+            jnp.asarray(coords), jnp.asarray(labels), stability_offset)
         return np.asarray(ious), np.asarray(stab), low
 
     def finalize_masks(self, low_sel, h: int, w: int) -> np.ndarray:
@@ -148,13 +158,9 @@ class SAM2ImagePredictor:
             labels = np.concatenate([p[1] for p in prompts], axis=1)
             assert coords.shape[0] == n
 
-        n = coords.shape[0]
         f = self._feats
-        pix = jnp.broadcast_to(f["pix"], (n,) + f["pix"].shape[1:])
-        s0 = jnp.broadcast_to(f["s0"], (n,) + f["s0"].shape[1:])
-        s1 = jnp.broadcast_to(f["s1"], (n,) + f["s1"].shape[1:])
         fn = self._predict_multi if multimask_output else self._predict_single
-        out = fn(self.compute_variables, pix, s0, s1,
+        out = fn(self.compute_variables, f["pix"], f["s0"], f["s1"],
                  jnp.asarray(coords), jnp.asarray(labels))
         high = _resize_masks(out["high_res_masks"], self._orig_hw)
         masks = np.asarray(high > 0.0)

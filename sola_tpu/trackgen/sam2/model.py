@@ -166,7 +166,8 @@ class SAM2Model(nn.Module):
 
     def sam_heads(self, pix_feat, s0, s1, coords, labels,
                   mask_prompt=None, multimask_output: bool = False,
-                  suppress_empty_obj: bool = False):
+                  suppress_empty_obj: bool = False,
+                  compute_high_res: bool = True):
         """Run prompt encoder + mask decoder on (possibly memory-conditioned)
         stride-16 features.
 
@@ -176,8 +177,14 @@ class SAM2Model(nn.Module):
         when the object score is <= 0 the mask logits collapse to
         NO_OBJ_SCORE = -1024 (the image-predictor/AMG path does not do this).
 
+        ``compute_high_res=False`` skips the (B, K, S, S) upscale — the AMG
+        proposal pass filters on low-res logits only, and materializing
+        128 x 3 x 1024^2 high-res masks per point batch is pure HBM waste
+        there (the reference pays this cost; we don't).
+
         Returns dict: low_res_masks (B, K, 4h, 4w), high_res_masks
-        (B, K, S, S), ious (B, K), obj_ptr (B, d), object_score_logits (B, 1).
+        (B, K, S, S) or None, ious (B, K), obj_ptr (B, d),
+        object_score_logits (B, 1).
         """
         cfg = self.cfg
         sparse, dense = self.prompt_encoder(coords, labels, mask_prompt)
@@ -189,9 +196,11 @@ class SAM2Model(nn.Module):
             is_obj = obj_score[:, 0] > 0  # (B,)
             low_res = jnp.where(is_obj[:, None, None, None], low_res,
                                 jnp.asarray(-1024.0, low_res.dtype))
-        high_res = interpolate_bilinear(
-            low_res.transpose(0, 2, 3, 1), cfg.image_size,
-            cfg.image_size).transpose(0, 3, 1, 2)
+        high_res = None
+        if compute_high_res:
+            high_res = interpolate_bilinear(
+                low_res.transpose(0, 2, 3, 1), cfg.image_size,
+                cfg.image_size).transpose(0, 3, 1, 2)
         obj_ptr = self.obj_ptr_proj(sam_token)
         if cfg.fixed_no_obj_ptr:
             lam = (obj_score > 0).astype(obj_ptr.dtype)
