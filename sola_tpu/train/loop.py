@@ -124,6 +124,49 @@ def make_eval_step(model: SelectionModel, train_cfg: dict,
     return eval_step
 
 
+def make_mesh_context(train_cfg: dict):
+    """Multi-device training context: a (data, model) mesh + batch/state
+    placement helpers, or None on a single device.
+
+    The reference has no distributed training at all (one GPU,
+    SURVEY.md §2.3); here any visible device count scales the same jitted
+    step via jax.sharding — batch axis over 'data', optionally the wide
+    layers tensor-parallel over 'model' (``train.n_model`` config).
+    """
+    n_dev = len(jax.devices())
+    if n_dev <= 1:
+        return None
+    n_model = int(train_cfg.get("n_model", 1))
+    if n_dev % max(n_model, 1) != 0:
+        raise ValueError(f"n_model={n_model} must divide {n_dev} devices")
+
+    from sola_tpu.parallel.mesh import (data_sharding, make_mesh,
+                                        pad_batch_to, replicated)
+    from sola_tpu.parallel.tp import shard_train_state
+
+    mesh = make_mesh(n_data=n_dev // n_model, n_model=n_model)
+    n_data = mesh.devices.shape[0]
+
+    class _Ctx:
+        def place_state(self, tstate, optimizer):
+            if n_model > 1:
+                return shard_train_state(mesh, tstate, optimizer)
+            return jax.device_put(tstate, replicated(mesh))
+
+        def pad_raw(self, raw: dict) -> dict:
+            b = len(raw["expression"])
+            target = ((b + n_data - 1) // n_data) * n_data
+            return pad_batch_to(raw, target) if target != b else raw
+
+        def place_batch(self, batch: dict) -> dict:
+            s = data_sharding(mesh)
+            return {k: jax.device_put(v, s) for k, v in batch.items()}
+
+        mesh_obj = mesh
+
+    return _Ctx()
+
+
 def prepare_batch(batch: dict, text_encoder, train_cfg: Optional[dict] = None):
     """Attach language tensors (and thresholded labels) to a collated batch."""
     lang_tokens, lang_mask, pos_tokens = text_encoder.encode_batch(
@@ -188,6 +231,12 @@ def train(configs: dict, max_steps_per_epoch: Optional[int] = None,
                                float(train_cfg.get("pred_threshold", 0.5)))
     rng = jax.random.PRNGKey(42 + start_epoch)
 
+    mesh_ctx = make_mesh_context(train_cfg)
+    if mesh_ctx is not None:
+        tstate = mesh_ctx.place_state(tstate, optimizer)
+        log_fn(f"mesh training over {mesh_ctx.mesh_obj.devices.shape} "
+               f"(data, model) devices")
+
     for epoch in range(start_epoch, int(train_cfg["n_epochs"])):
         t0 = time.time()
         # keep per-step metrics as device arrays; fetching only at epoch end
@@ -202,7 +251,11 @@ def train(configs: dict, max_steps_per_epoch: Optional[int] = None,
                 if max_steps_per_epoch and step_idx >= max_steps_per_epoch:
                     break
                 rng, step_rng = jax.random.split(rng)
+                if mesh_ctx is not None:
+                    raw = mesh_ctx.pad_raw(raw)
                 batch = prepare_batch(raw, text_encoder, train_cfg)
+                if mesh_ctx is not None:
+                    batch = mesh_ctx.place_batch(batch)
                 tstate, metrics = train_step(tstate, batch, step_rng)
                 for k in train_losses:
                     train_losses[k].append(metrics[k])
@@ -215,7 +268,11 @@ def train(configs: dict, max_steps_per_epoch: Optional[int] = None,
         for step_idx, raw in enumerate(loader_dict["valid"]):
             if max_steps_per_epoch and step_idx >= max_steps_per_epoch:
                 break
+            if mesh_ctx is not None:
+                raw = mesh_ctx.pad_raw(raw)
             batch = prepare_batch(raw, text_encoder, train_cfg)
+            if mesh_ctx is not None:
+                batch = mesh_ctx.place_batch(batch)
             metrics = eval_step(tstate.params, tstate.buffers, batch)
             for k in ("total", "bce", "alignment"):
                 ev[k].append(float(metrics[k]))

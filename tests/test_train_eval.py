@@ -155,6 +155,42 @@ def test_inference_png_export(workspace, trained):
     assert set(np.unique(img)).issubset({0, 255})
 
 
+def test_mesh_train_loop_with_tensor_parallel(tmp_path):
+    """train() over the virtual 8-device mesh with n_model=2 (dp=4 x tp=2):
+    the full loop (pad -> shard -> step -> checkpoint) must run and produce
+    finite losses. Single-device parity of the tp math is covered by
+    tests/test_parallel.py; this exercises the loop integration."""
+    from sola_tpu.train.loop import train
+
+    ds = synthetic.generate(str(tmp_path), n_videos=2, n_frames=24,
+                            n_objects=2, n_distractors=2)
+    configs = {
+        "exp_name": "meshtp",
+        "model": {"object_token_dim": 256, "lang_token_dim": 64,
+                  "n_layers": 1, "max_temporal_length": 100,
+                  "n_negative": 8, "dropout_p": 0.1, "norm_type": "group",
+                  "n_groups": 8, "n_groups_module": 8},
+        "train": {"n_epochs": 1, "pred_threshold": 0.5, "temperature": 0.07,
+                  "alignment_weight": 0.3, "lr": 1e-4, "lr_factor": 0.5,
+                  "lr_patience": 5, "grad_clip_norm": 1.0,
+                  "positive_metric": "iou", "positive_threshold": 0.7,
+                  "positive_weight": 1.5, "n_model": 2},
+        "dataset": ds["configs"],
+        "eval": {"pred_threshold": 0.5},
+        "results": {"output_dir": str(tmp_path / "TRAIN"),
+                    "eval_output_dir": str(tmp_path / "EVAL"),
+                    "test_output_dir": str(tmp_path / "INFER")},
+    }
+    text_encoder = HashTextEncoder(hidden_size=64, vocab_size=256)
+    state = train(configs, text_encoder=text_encoder, log_fn=lambda *a: None)
+    assert int(state.step) > 0
+    log = os.path.join(str(tmp_path / "TRAIN"), "meshtp", "mevis", "log.txt")
+    content = open(log).read()
+    assert "TRAIN EPOCH 001" in content
+    loss = float(content.split("LOSS:")[1].split()[0])
+    assert np.isfinite(loss)
+
+
 def test_selection_recall_metrics():
     from sola_tpu.eval.metrics import recall_per_exp, recall_per_track
     gt_ids = [10, 20]
