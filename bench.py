@@ -228,13 +228,31 @@ def bench_trackgen(n_frames: int, obj_batch: int = 4) -> dict:
     t0 = time.perf_counter()
     n = run_pass()
     t_prop = time.perf_counter() - t0
-    return {
+    out = {
         "sam2_encode_fps": round(n_frames / t_encode, 2),
         "sam2_propagation_fps": round(n / t_prop, 2),
         "sam2_propagation_object_fps": round(n * obj_batch / t_prop, 2),
         "sam2_obj_batch": obj_batch,
         "sam2_frames": n_frames,
     }
+
+    # grid-prompt proposal stage (generate_prompts_grid.py:100): AMG over the
+    # 32x32 grid with reference thresholds, steady-state seconds per frame
+    try:
+        from sola_tpu.trackgen.sam2.amg import SAM2AutomaticMaskGenerator
+        from sola_tpu.trackgen.sam2.image import SAM2ImagePredictor
+
+        ipred = SAM2ImagePredictor(model, variables)
+        amg = SAM2AutomaticMaskGenerator(ipred, points_per_batch=256)
+        amg.generate(frames[0])  # compile
+        t0 = time.perf_counter()
+        n_amg = 2
+        for i in range(n_amg):
+            amg.generate(frames[i])
+        out["amg_s_per_frame"] = round((time.perf_counter() - t0) / n_amg, 3)
+    except Exception as e:
+        out["amg_error"] = f"{type(e).__name__}: {e}"
+    return out
 
 
 def main() -> None:

@@ -73,13 +73,12 @@ def main(points_per_batch: int = 128, frames: int = 4) -> None:
         k_pad = ((k + 31) // 32) * 32
         low_all = jnp.pad(low_all, ((0, k_pad - k), (0, 0), (0, 0)),
                           constant_values=-10.0)
-        masks = pred.finalize_masks(low_all, h, w)[:k].astype(bool)
+        masks, boxes, areas = pred.finalize_masks_packed(low_all, h, w)
+        masks, boxes, areas = masks[:k], boxes[:k], areas[:k]
         t["finalize"] += time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        from sola_tpu.trackgen.sam2.amg import box_from_mask, nms
-        boxes = np.stack([box_from_mask(m) for m in masks], axis=0)
-        areas = masks.reshape(len(masks), -1).sum(axis=1)
+        from sola_tpu.trackgen.sam2.amg import nms
         idxs = np.nonzero(areas > 0)[0]
         if len(idxs):
             nms(boxes[idxs], np.asarray(kept_iou)[idxs], amg.box_nms_thresh)

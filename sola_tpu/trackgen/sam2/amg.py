@@ -117,15 +117,17 @@ class SAM2AutomaticMaskGenerator:
         if not kept_dev:
             return []
 
-        # upscale only the survivors, threshold on device, fetch uint8
-        # (count padded to a bucket so finalize compiles O(1) times)
+        # upscale only the survivors, threshold on device; the mask fetch is
+        # bit-packed 8x and boxes/areas come from device reductions (count
+        # padded to a bucket so finalize compiles O(1) times)
         low_all = jnp.concatenate(kept_dev, axis=0)
         k = low_all.shape[0]
         k_pad = ((k + 31) // 32) * 32
         low_all = jnp.pad(low_all, ((0, k_pad - k), (0, 0), (0, 0)),
                           constant_values=-10.0)
-        masks = self.predictor.finalize_masks(
-            low_all, h, w)[:k].astype(bool)
+        masks, boxes, areas = self.predictor.finalize_masks_packed(
+            low_all, h, w)
+        masks, boxes, areas = masks[:k], boxes[:k], areas[:k]
 
         if self.min_mask_region_area > 0:
             masks, kept_iou, kept_stab, kept_pts = \
@@ -133,9 +135,9 @@ class SAM2AutomaticMaskGenerator:
                                                 kept_pts)
             if len(masks) == 0:
                 return []
-
-        boxes = np.stack([box_from_mask(m) for m in masks], axis=0)
-        areas = masks.reshape(len(masks), -1).sum(axis=1)
+            # CCL edits change geometry: recompute on host (small K here)
+            boxes = np.stack([box_from_mask(m) for m in masks], axis=0)
+            areas = masks.reshape(len(masks), -1).sum(axis=1)
         nonempty = areas > max(self.min_mask_region_area, 0)
         idxs = np.nonzero(nonempty)[0]
         if len(idxs) == 0:

@@ -91,6 +91,43 @@ class SAM2ImagePredictor:
 
         self._finalize = jax.jit(_finalize, static_argnums=(1, 2))
 
+        def _finalize_packed(low_sel, h, w):
+            """Upscale + threshold + bit-pack on device, with boxes/areas.
+
+            The full-res boolean masks are 8x bit-packed before crossing to
+            host, and xyxy boxes + areas come from device-side reductions —
+            on the AMG path this replaces a (K, H, W) uint8 fetch plus a
+            per-mask host np.nonzero loop (the two dominant costs of dense
+            proposal generation once decode is fast)."""
+            k = low_sel.shape[0]
+            up = jax.image.resize(low_sel, (k, h, w), method="linear")
+            m = up > 0.0                                  # (K, h, w) bool
+            areas = jnp.sum(m, axis=(1, 2), dtype=jnp.int32)
+            any_y = jnp.any(m, axis=2)                    # (K, h)
+            any_x = jnp.any(m, axis=1)                    # (K, w)
+            ys = jnp.arange(h, dtype=jnp.int32)
+            xs = jnp.arange(w, dtype=jnp.int32)
+            big = jnp.int32(1 << 30)
+            y0 = jnp.min(jnp.where(any_y, ys, big), axis=1)
+            y1 = jnp.max(jnp.where(any_y, ys, -1), axis=1) + 1
+            x0 = jnp.min(jnp.where(any_x, xs, big), axis=1)
+            x1 = jnp.max(jnp.where(any_x, xs, -1), axis=1) + 1
+            empty = areas == 0
+            boxes = jnp.stack([
+                jnp.where(empty, 0, x0), jnp.where(empty, 0, y0),
+                jnp.where(empty, 0, x1), jnp.where(empty, 0, y1)],
+                axis=1).astype(jnp.float32)
+            w8 = (w + 7) // 8 * 8
+            bits = jnp.pad(m, ((0, 0), (0, 0), (0, w8 - w))).astype(jnp.uint8)
+            weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+            packed = jnp.sum(
+                bits.reshape(k, h, w8 // 8, 8)
+                * weights[None, None, None, :], axis=-1, dtype=jnp.uint8)
+            return packed, boxes, areas
+
+        self._finalize_packed = jax.jit(_finalize_packed,
+                                        static_argnums=(1, 2))
+
     def set_image(self, image: np.ndarray) -> None:
         """(H, W, 3) uint8."""
         s = self.cfg.image_size
@@ -125,6 +162,19 @@ class SAM2ImagePredictor:
     def finalize_masks(self, low_sel, h: int, w: int) -> np.ndarray:
         """Upscale selected (K, 4h, 4w) device logits -> host (K, h, w) uint8."""
         return np.asarray(self._finalize(low_sel, h, w))
+
+    def finalize_masks_packed(self, low_sel, h: int, w: int):
+        """AMG finalize: returns (masks (K, h, w) bool, boxes (K, 4) xyxy,
+        areas (K,)) with the mask transfer bit-packed 8x and boxes/areas
+        computed on device (no per-mask host scans)."""
+        packed, boxes, areas = self._finalize_packed(low_sel, h, w)
+        packed = np.asarray(packed)
+        k = packed.shape[0]
+        masks = np.unpackbits(
+            packed.reshape(k, -1), axis=1,
+            count=packed.shape[1] * packed.shape[2] * 8).reshape(
+                k, h, -1)[:, :, :w].astype(bool)
+        return masks, np.asarray(boxes), np.asarray(areas)
 
     def predict(self, point_coords: Optional[np.ndarray] = None,
                 point_labels: Optional[np.ndarray] = None,

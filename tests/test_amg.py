@@ -36,6 +36,30 @@ def test_propose_and_finalize(tiny_predictor, rng):
     assert masks.dtype == np.uint8
 
 
+def test_finalize_packed_matches_unpacked(tiny_predictor, rng):
+    """Bit-packed finalize (device boxes/areas) must agree exactly with the
+    plain uint8 path + host box_from_mask."""
+    from sola_tpu.trackgen.sam2.amg import box_from_mask
+
+    pred = tiny_predictor
+    image = rng.integers(0, 255, (48, 72, 3), dtype=np.uint8)
+    pred.set_image(image)
+    pts = rng.random((8, 1, 2)).astype(np.float32) * [72, 48]
+    _, _, low = pred.propose(pts)
+    sel = low[jnp.asarray([0, 1, 2, 3]), jnp.asarray([0, 2, 1, 0])]
+    # force one empty mask through the padded slot convention
+    sel = jnp.concatenate([sel, jnp.full((1,) + sel.shape[1:], -10.0)], 0)
+
+    ref = pred.finalize_masks(sel, 48, 72).astype(bool)
+    masks, boxes, areas = pred.finalize_masks_packed(sel, 48, 72)
+
+    np.testing.assert_array_equal(masks, ref)
+    for i in range(len(ref)):
+        np.testing.assert_array_equal(boxes[i], box_from_mask(ref[i]))
+        assert int(areas[i]) == int(ref[i].sum())
+    assert int(areas[-1]) == 0 and (boxes[-1] == 0).all()
+
+
 def test_amg_generate_runs(tiny_predictor, rng):
     amg = SAM2AutomaticMaskGenerator(
         tiny_predictor, points_per_side=4, points_per_batch=8,
