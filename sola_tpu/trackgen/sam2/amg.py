@@ -117,39 +117,49 @@ class SAM2AutomaticMaskGenerator:
         if not kept_dev:
             return []
 
-        # upscale only the survivors, threshold on device; the mask fetch is
-        # bit-packed 8x and boxes/areas come from device reductions (count
-        # padded to a bucket so finalize compiles O(1) times)
+        # upscale only the survivors, threshold on device; boxes/areas come
+        # from device reductions and the bit-packed masks STAY on device —
+        # NMS runs on the cheap host boxes and only the kept rows are ever
+        # fetched (count padded to a bucket so finalize compiles O(1) times)
+        from sola_tpu.trackgen.sam2.image import unpack_masks
+
         low_all = jnp.concatenate(kept_dev, axis=0)
         k = low_all.shape[0]
         k_pad = ((k + 31) // 32) * 32
         low_all = jnp.pad(low_all, ((0, k_pad - k), (0, 0), (0, 0)),
                           constant_values=-10.0)
-        masks, boxes, areas = self.predictor.finalize_masks_packed(
+        packed_dev, boxes, areas = self.predictor.finalize_masks_device(
             low_all, h, w)
-        masks, boxes, areas = masks[:k], boxes[:k], areas[:k]
+        boxes, areas = boxes[:k], areas[:k]
 
         if self.min_mask_region_area > 0:
+            # CCL edits need every mask on host and change geometry
+            masks = unpack_masks(np.asarray(packed_dev), h, w)[:k]
             masks, kept_iou, kept_stab, kept_pts = \
                 self._postprocess_small_regions(masks, kept_iou, kept_stab,
                                                 kept_pts)
             if len(masks) == 0:
                 return []
-            # CCL edits change geometry: recompute on host (small K here)
             boxes = np.stack([box_from_mask(m) for m in masks], axis=0)
             areas = masks.reshape(len(masks), -1).sum(axis=1)
+            fetch_masks = lambda keep: masks[keep]  # already on host
+        else:
+            def fetch_masks(keep):
+                sel = np.asarray(packed_dev[jnp.asarray(keep)])
+                return unpack_masks(sel, h, w)
+
         nonempty = areas > max(self.min_mask_region_area, 0)
         idxs = np.nonzero(nonempty)[0]
         if len(idxs) == 0:
             return []
-        keep = nms(boxes[idxs], np.asarray(kept_iou)[idxs],
-                   self.box_nms_thresh)
-        keep = idxs[keep]
+        keep = idxs[nms(boxes[idxs], np.asarray(kept_iou)[idxs],
+                        self.box_nms_thresh)]
+        kept_masks = fetch_masks(keep)
 
         records = []
-        for i in keep:
+        for j, i in enumerate(keep):
             records.append({
-                "segmentation": masks[i],
+                "segmentation": kept_masks[j],
                 "area": int(areas[i]),
                 "bbox": boxes[i].tolist(),
                 "predicted_iou": kept_iou[i],

@@ -168,13 +168,15 @@ class SAM2ImagePredictor:
         areas (K,)) with the mask transfer bit-packed 8x and boxes/areas
         computed on device (no per-mask host scans)."""
         packed, boxes, areas = self._finalize_packed(low_sel, h, w)
-        packed = np.asarray(packed)
-        k = packed.shape[0]
-        masks = np.unpackbits(
-            packed.reshape(k, -1), axis=1,
-            count=packed.shape[1] * packed.shape[2] * 8).reshape(
-                k, h, -1)[:, :, :w].astype(bool)
-        return masks, np.asarray(boxes), np.asarray(areas)
+        return (unpack_masks(np.asarray(packed), h, w),
+                np.asarray(boxes), np.asarray(areas))
+
+    def finalize_masks_device(self, low_sel, h: int, w: int):
+        """Deferred-fetch finalize: returns (packed DEVICE array, host boxes,
+        host areas). Callers NMS on the cheap boxes first, then fetch only
+        the kept rows (``packed_dev[idx]`` + unpack_masks)."""
+        packed, boxes, areas = self._finalize_packed(low_sel, h, w)
+        return packed, np.asarray(boxes), np.asarray(areas)
 
     def predict(self, point_coords: Optional[np.ndarray] = None,
                 point_labels: Optional[np.ndarray] = None,
@@ -216,6 +218,17 @@ class SAM2ImagePredictor:
         masks = np.asarray(high > 0.0)
         return masks, np.asarray(out["ious"]), np.asarray(
             out["low_res_masks"])
+
+
+def unpack_masks(packed: np.ndarray, h: int, w: int) -> np.ndarray:
+    """(K, h, ceil(w/8)) bit-packed uint8 -> (K, h, w) bool."""
+    k = packed.shape[0]
+    if k == 0:
+        return np.zeros((0, h, w), bool)
+    return np.unpackbits(
+        packed.reshape(k, -1), axis=1,
+        count=packed.shape[1] * packed.shape[2] * 8).reshape(
+            k, h, -1)[:, :, :w].astype(bool)
 
 
 def _resize_masks(masks: jax.Array, orig_hw) -> jax.Array:
