@@ -1,9 +1,12 @@
 """Per-stage AMG profile on the real chip (VERDICT round-1 item 5).
 
-Times each stage of SAM2AutomaticMaskGenerator.generate separately:
-image encode, the batched point-grid proposal pass (device), the
-survivor finalize (upscale+threshold), and host postprocessing
-(boxes/NMS/records). Prints one JSON line with the breakdown.
+Times each stage of the production SAM2AutomaticMaskGenerator path
+separately: image encode, the batched point-grid proposal pass (enqueued
+async, scalars fetched after), the device finalize (upscale + pack + boxes),
+host NMS, and the deferred survivor-mask fetch. Thresholds are 0 so EVERY
+proposal survives — the worst case; real thresholds keep far fewer. Prints
+one JSON line with the breakdown plus an end-to-end generate() timing at
+reference thresholds.
 """
 
 import json
@@ -16,16 +19,17 @@ def main(points_per_batch: int = 128, frames: int = 4) -> None:
     import jax
     import jax.numpy as jnp
 
-    from sola_tpu.trackgen.sam2.amg import SAM2AutomaticMaskGenerator
+    from sola_tpu.trackgen.sam2.amg import (SAM2AutomaticMaskGenerator,
+                                            build_point_grid, nms)
     from sola_tpu.trackgen.sam2.convert import build_sam2
-    from sola_tpu.trackgen.sam2.image import SAM2ImagePredictor
+    from sola_tpu.trackgen.sam2.image import SAM2ImagePredictor, unpack_masks
 
     model, variables = build_sam2(None)
     pred = SAM2ImagePredictor(model, variables)
     amg = SAM2AutomaticMaskGenerator(pred, points_per_batch=points_per_batch,
                                      pred_iou_thresh=0.0,
                                      stability_score_thresh=0.0)
-    # thresholds 0 => every proposal survives: worst-case finalize load
+    # thresholds 0 => every proposal survives: worst-case load
 
     rng = np.random.default_rng(0)
     image = rng.integers(0, 255, (480, 854, 3), dtype=np.uint8)
@@ -33,8 +37,9 @@ def main(points_per_batch: int = 128, frames: int = 4) -> None:
     # warmup / compile everything once
     amg.generate(image)
 
-    t = {"encode": 0.0, "propose": 0.0, "finalize": 0.0, "host_post": 0.0}
-    n_records = 0
+    t = {"encode": 0.0, "propose": 0.0, "finalize_nms": 0.0,
+         "fetch_kept": 0.0}
+    n_records = n_kept = 0
     for _ in range(frames):
         t0 = time.perf_counter()
         pred.set_image(image)
@@ -42,20 +47,23 @@ def main(points_per_batch: int = 128, frames: int = 4) -> None:
         t["encode"] += time.perf_counter() - t0
 
         h, w = image.shape[:2]
-        from sola_tpu.trackgen.sam2.amg import build_point_grid
         grid = build_point_grid(amg.points_per_side)
         coords = grid * np.asarray([w, h], np.float32)
         bsz = amg.points_per_batch
 
         t0 = time.perf_counter()
-        kept_dev, kept_iou, kept_stab = [], [], []
+        pending = []
         for start in range(0, len(coords), bsz):
             batch = coords[start:start + bsz]
             if len(batch) < bsz:
                 batch = np.concatenate(
                     [batch, np.tile(batch[-1:], (bsz - len(batch), 1))], 0)
-            ious, stab, low_dev = pred.propose(batch[:, None, :],
-                                               amg.stability_score_offset)
+            pending.append(pred.propose_device(
+                batch[:, None, :], amg.stability_score_offset))
+        kept_dev, kept_iou = [], []
+        for ious_dev, stab_dev, low_dev in pending:
+            ious = np.asarray(ious_dev)
+            stab = np.asarray(stab_dev)
             keep = (ious > amg.pred_iou_thresh) & (
                 stab > amg.stability_score_thresh)
             idx_n, idx_k = np.nonzero(keep)
@@ -63,8 +71,6 @@ def main(points_per_batch: int = 128, frames: int = 4) -> None:
                 kept_dev.append(low_dev[jnp.asarray(idx_n),
                                         jnp.asarray(idx_k)])
                 kept_iou.extend(float(x) for x in ious[idx_n, idx_k])
-                kept_stab.extend(float(x) for x in stab[idx_n, idx_k])
-        jax.block_until_ready(kept_dev[-1])
         t["propose"] += time.perf_counter() - t0
 
         t0 = time.perf_counter()
@@ -73,22 +79,35 @@ def main(points_per_batch: int = 128, frames: int = 4) -> None:
         k_pad = ((k + 31) // 32) * 32
         low_all = jnp.pad(low_all, ((0, k_pad - k), (0, 0), (0, 0)),
                           constant_values=-10.0)
-        masks, boxes, areas = pred.finalize_masks_packed(low_all, h, w)
-        masks, boxes, areas = masks[:k], boxes[:k], areas[:k]
-        t["finalize"] += time.perf_counter() - t0
+        packed_dev, boxes, areas = pred.finalize_masks_device(low_all, h, w)
+        boxes, areas = boxes[:k], areas[:k]
+        idxs = np.nonzero(areas > 0)[0]
+        keep_idx = idxs[nms(boxes[idxs], np.asarray(kept_iou)[idxs],
+                            amg.box_nms_thresh)] if len(idxs) else idxs
+        t["finalize_nms"] += time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        from sola_tpu.trackgen.sam2.amg import nms
-        idxs = np.nonzero(areas > 0)[0]
-        if len(idxs):
-            nms(boxes[idxs], np.asarray(kept_iou)[idxs], amg.box_nms_thresh)
-        t["host_post"] += time.perf_counter() - t0
+        if len(keep_idx):
+            sel = np.asarray(packed_dev[jnp.asarray(keep_idx)])
+            unpack_masks(sel, h, w)
+        t["fetch_kept"] += time.perf_counter() - t0
         n_records = int(k)
+        n_kept = int(len(keep_idx))
 
     out = {k2: round(v / frames, 4) for k2, v in t.items()}
     out["total_s_per_frame"] = round(sum(t.values()) / frames, 4)
     out["survivors"] = n_records
+    out["nms_kept"] = n_kept
     out["points_per_batch"] = points_per_batch
+
+    # end-to-end generate() at REFERENCE thresholds (the production call)
+    amg_real = SAM2AutomaticMaskGenerator(pred,
+                                          points_per_batch=points_per_batch)
+    amg_real.generate(image)  # may hit new shapes -> compile
+    t0 = time.perf_counter()
+    recs = amg_real.generate(image)
+    out["generate_s_ref_thresholds"] = round(time.perf_counter() - t0, 4)
+    out["records_ref_thresholds"] = len(recs)
     print(json.dumps(out))
 
 

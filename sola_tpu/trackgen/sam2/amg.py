@@ -93,16 +93,24 @@ class SAM2AutomaticMaskGenerator:
         coords = np.concatenate(
             [coords, np.tile(coords[-1:], (n_pad - len(coords), 1))], axis=0)
 
-        # device-side proposal pass: only (iou, stability) scalars cross to
-        # host per batch; low-res logits stay on device
-        kept_dev, kept_iou, kept_stab, kept_pts = [], [], [], []
+        # device-side proposal pass: enqueue EVERY point batch before
+        # fetching any result (dispatch runs ahead; the scalar fetches
+        # overlap later batches' compute instead of a host round trip per
+        # batch), and only (iou, stability) scalars cross to host
+        pending = []
         for start in range(0, len(coords), bsz):
             batch = coords[start:start + bsz]
             valid = min(bsz, len(grid) - start)
             if valid <= 0:
                 break
-            ious, stab, low_dev = self.predictor.propose(
+            ious_dev, stab_dev, low_dev = self.predictor.propose_device(
                 batch[:, None, :], self.stability_score_offset)
+            pending.append((batch, valid, ious_dev, stab_dev, low_dev))
+
+        kept_dev, kept_iou, kept_stab, kept_pts = [], [], [], []
+        for batch, valid, ious_dev, stab_dev, low_dev in pending:
+            ious = np.asarray(ious_dev)
+            stab = np.asarray(stab_dev)
             keep = (ious > self.pred_iou_thresh) & (
                 stab > self.stability_score_thresh)
             keep[valid:] = False

@@ -150,14 +150,21 @@ class SAM2ImagePredictor:
         """AMG proposal pass: (N, 1, 2) point prompts -> host (iou (N,3),
         stability (N,3)) + DEVICE low-res logits (N, 3, 4h, 4w). Only the
         scalars cross to host; callers gather survivors on device."""
+        ious, stab, low = self.propose_device(point_coords, stability_offset)
+        return np.asarray(ious), np.asarray(stab), low
+
+    def propose_device(self, point_coords: np.ndarray,
+                       stability_offset: float = 1.0):
+        """Async propose: returns DEVICE (iou, stability, low_res) without
+        forcing a host sync, so callers can enqueue every point batch before
+        fetching any result (dispatch overlaps compute + transfers)."""
         assert self._feats is not None, "call set_image first"
         coords = self._scale_coords(np.asarray(point_coords, np.float32))
         labels = np.ones(coords.shape[:2], np.int32)
         f = self._feats
-        ious, stab, low = self._propose(
+        return self._propose(
             self.compute_variables, f["pix"], f["s0"], f["s1"],
             jnp.asarray(coords), jnp.asarray(labels), stability_offset)
-        return np.asarray(ious), np.asarray(stab), low
 
     def finalize_masks(self, low_sel, h: int, w: int) -> np.ndarray:
         """Upscale selected (K, 4h, 4w) device logits -> host (K, h, w) uint8."""
