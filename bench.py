@@ -23,6 +23,9 @@ import time
 
 import numpy as np
 
+from sola_tpu.utils import compcache
+compcache.enable()
+
 V5E_BF16_PEAK_FLOPS = 197e12
 A100_PROPAGATION_OBJECT_FPS = 17.5  # upstream SAM2-L, 1 object, 15-20 fps
 

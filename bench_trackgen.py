@@ -13,6 +13,9 @@ import time
 
 import numpy as np
 
+from sola_tpu.utils import compcache
+compcache.enable()
+
 
 def main(n_frames: int = 32, obj_batch: int = 4) -> None:
     import jax

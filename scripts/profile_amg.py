@@ -14,6 +14,9 @@ import time
 
 import numpy as np
 
+from sola_tpu.utils import compcache
+compcache.enable()
+
 
 def main(points_per_batch: int = 128, frames: int = 4) -> None:
     import jax

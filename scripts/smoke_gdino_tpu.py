@@ -13,6 +13,9 @@ import time
 
 import numpy as np
 
+from sola_tpu.utils import compcache
+compcache.enable()
+
 
 def main() -> None:
     from sola_tpu.trackgen.gdino.model import load_grounding_dino

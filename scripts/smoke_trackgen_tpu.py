@@ -17,6 +17,9 @@ for i in range(T):
     frames.append(f)
 
 # --- stage 1a: real AMG (permissive thresholds for random weights) ---
+from sola_tpu.utils import compcache
+compcache.enable()
+
 from sola_tpu.trackgen.sam2.amg import SAM2AutomaticMaskGenerator
 from sola_tpu.trackgen.sam2.convert import build_sam2
 from sola_tpu.trackgen.sam2.image import SAM2ImagePredictor

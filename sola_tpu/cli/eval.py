@@ -51,6 +51,8 @@ def load_weights(configs: dict):
 
 
 def main(argv=None) -> None:
+    from sola_tpu.utils import compcache
+    compcache.enable()
     from sola_tpu.eval.evaluator import Evaluator
     configs = get_configs(argv)
     set_seed(42)

@@ -12,6 +12,8 @@ from sola_tpu.cli.train import set_seed
 
 
 def main(argv=None) -> None:
+    from sola_tpu.utils import compcache
+    compcache.enable()
     from sola_tpu.eval.inference import run_inference
     configs = get_configs(argv)
     set_seed(42)

@@ -31,6 +31,8 @@ def get_configs(argv=None) -> tuple[dict, bool]:
 
 
 def main(argv=None) -> None:
+    from sola_tpu.utils import compcache
+    compcache.enable()
     from sola_tpu.train.loop import train
     configs, resume = get_configs(argv)
     set_seed(42)

@@ -130,6 +130,8 @@ def generate_video_prompts(prompt_generator: PromptGenerator, frames: list,
 
 
 def main(argv=None, generator_factory=None) -> None:
+    from sola_tpu.utils import compcache
+    compcache.enable()
     parser = argparse.ArgumentParser()
     parser.add_argument("--dataset", type=str, default="mevis")
     parser.add_argument("--data_type", type=str, default="valid_u")

@@ -82,6 +82,8 @@ def generate_video_prompts(amg, frames: list, frame_names: list,
 
 
 def main(argv=None, amg_factory=None) -> None:
+    from sola_tpu.utils import compcache
+    compcache.enable()
     parser = argparse.ArgumentParser()
     parser.add_argument("--dataset", type=str, default="mevis")
     parser.add_argument("--data_type", type=str, default="valid_u")

@@ -87,6 +87,8 @@ def run_expression(predictor, state, video_id: str, expression_id: str,
 
 
 def main(argv=None, predictor_factory=None) -> None:
+    from sola_tpu.utils import compcache
+    compcache.enable()
     parser = argparse.ArgumentParser()
     parser.add_argument("--dataset", type=str, default="mevis")
     parser.add_argument("--data_type", type=str, default="valid_u")

@@ -105,6 +105,8 @@ def run_video(predictor, video_id: str, frames_dir: str, prompt_path: str,
 
 
 def main(argv=None, predictor_factory=None) -> None:
+    from sola_tpu.utils import compcache
+    compcache.enable()
     parser = argparse.ArgumentParser()
     parser.add_argument("--dataset", type=str, default="mevis")
     parser.add_argument("--data_type", type=str, default="valid_u")

@@ -80,6 +80,8 @@ def run_video(predictor, state, video_id: str, gt_masklets: dict,
 
 
 def main(argv=None, predictor_factory=None) -> None:
+    from sola_tpu.utils import compcache
+    compcache.enable()
     parser = argparse.ArgumentParser()
     parser.add_argument("--dataset", type=str, default="mevis",
                         choices=["mevis", "ref-ytbvos", "ref-davis"])
