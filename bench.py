@@ -165,7 +165,10 @@ def bench_loader_train(n_videos: int = 24, n_objects: int = 4,
         tstate = state_lib.create_train_state(cfg, optimizer)
         train_cfg = {"positive_weight": 1.5, "alignment_weight": 0.3,
                      "temperature": 0.07, "positive_metric": "iou",
-                     "positive_threshold": 0.7}
+                     "positive_threshold": 0.7,
+                     # halve host->device bytes: this sandbox's device link
+                     # is the binding constraint for loader-fed training
+                     "bf16_token_transfer": True}
         step = make_train_step(model, optimizer, train_cfg)
         text = CachingTextEncoder(HashTextEncoder(cfg.lang_token_dim))
         key = jax.random.PRNGKey(0)
@@ -174,23 +177,33 @@ def bench_loader_train(n_videos: int = 24, n_objects: int = 4,
 
         def one_epoch(st):
             n = 0
+            nbytes = 0
             for raw in loader:
                 b = prepare_batch(raw, text, train_cfg)
+                nbytes += sum(int(np.prod(v.shape)) * v.dtype.itemsize
+                              for v in b.values()
+                              if hasattr(v, "dtype"))
                 st, _ = step(st, b, key)
                 n += int(np.sum(np.asarray(raw["track_mask"]).any(axis=1)))
             jax.block_until_ready(st.params)
-            return st, n
+            return st, n, nbytes
 
-        tstate, _ = one_epoch(tstate)  # warmup: compiles + text cache
+        tstate, _, _ = one_epoch(tstate)  # warmup: compiles + text cache
         t0 = time.perf_counter()
         total = 0
+        total_bytes = 0
         for _ in range(epochs):
-            tstate, n = one_epoch(tstate)
+            tstate, n, nbytes = one_epoch(tstate)
             total += n
+            total_bytes += nbytes
         elapsed = time.perf_counter() - t0
         return {"loader_train_pairs_per_s": round(total / elapsed, 2),
                 "loader_epoch_s": round(elapsed / epochs, 2),
-                "loader_epoch_pairs": n_pairs}
+                "loader_epoch_pairs": n_pairs,
+                # when this ~matches the link bandwidth, the epoch is
+                # host->device transfer-bound, not loader- or compute-bound
+                "loader_host_to_device_MBps": round(
+                    total_bytes / elapsed / 1e6, 1)}
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -162,13 +162,26 @@ def generate(root: str, n_videos: int = 2, n_frames: int = 24, h: int = 64,
 
 def _metrics_vs_gt(masklet: np.ndarray, gt_masklets: dict) -> dict:
     """Per-GT iou/precision/recall in the masklet-JSON format
-    (generate_tokens_grid.py:252-264 output schema)."""
-    from sola_tpu.core import mask_ops
+    (generate_tokens_grid.py:252-264 output schema).
+
+    Pure NumPy on purpose: the jitted mask_ops version costs a device
+    round trip per (track, gt) pair, which made fixture generation take
+    minutes through this sandbox's remote-relay device link."""
     out = {"iou": {}, "precision": {}, "recall": {}}
+    a = masklet.astype(bool)  # (T, H, W)
+    n_pred = a.sum(axis=(1, 2)).astype(np.float64)
     for gt_id, gt in gt_masklets.items():
-        p, r, i = mask_ops.mask_metrics(
-            masklet.astype(np.float32), gt.astype(np.float32))
-        out["iou"][str(gt_id)] = float(i)
-        out["precision"][str(gt_id)] = float(p)
-        out["recall"][str(gt_id)] = float(r)
+        b = gt.astype(bool)
+        inter = np.logical_and(a, b).sum(axis=(1, 2)).astype(np.float64)
+        n_gt = b.sum(axis=(1, 2)).astype(np.float64)
+        union = n_pred + n_gt - inter
+        # per-frame metrics + mean, exact mask_metrics conventions
+        iou = np.where(union == 0, 1.0, inter / np.maximum(union, 1.0))
+        prec = np.where(n_pred == 0, 1.0, inter / np.maximum(n_pred, 1.0))
+        prec = np.where((n_pred > 0) & (n_gt == 0), 0.0, prec)
+        rec = np.where(n_gt == 0, 1.0, inter / np.maximum(n_gt, 1.0))
+        rec = np.where((n_gt > 0) & (n_pred == 0), 0.0, rec)
+        out["iou"][str(gt_id)] = float(iou.mean())
+        out["precision"][str(gt_id)] = float(prec.mean())
+        out["recall"][str(gt_id)] = float(rec.mean())
     return out

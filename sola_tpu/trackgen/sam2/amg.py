@@ -65,7 +65,11 @@ def nms(boxes: np.ndarray, scores: np.ndarray,
 class SAM2AutomaticMaskGenerator:
     def __init__(self, predictor: SAM2ImagePredictor,
                  points_per_side: int = 32,
-                 points_per_batch: int = 128,
+                 # 256 points/dispatch: dispatch latency through the host
+                 # link is the propose bound on TPU, and HBM affords the
+                 # (256, 3, 256, 256) logit buffers (upstream's 64 is a GPU
+                 # memory default)
+                 points_per_batch: int = 256,
                  pred_iou_thresh: float = 0.8,
                  stability_score_thresh: float = 0.95,
                  stability_score_offset: float = 1.0,

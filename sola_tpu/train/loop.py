@@ -168,11 +168,20 @@ def make_mesh_context(train_cfg: dict):
 
 
 def prepare_batch(batch: dict, text_encoder, train_cfg: Optional[dict] = None):
-    """Attach language tensors (and thresholded labels) to a collated batch."""
+    """Attach language tensors (and thresholded labels) to a collated batch.
+
+    ``train_cfg["bf16_token_transfer"]``: send object tokens to the device
+    as bfloat16 (half the host->device bytes; they upcast to fp32 inside
+    the step via type promotion). The tokens come out of SAM2's bf16
+    autocast compute anyway (generate_tokens_grid.py:84-88), so the wire
+    precision matches their provenance. Off by default for bit-parity.
+    """
     lang_tokens, lang_mask, pos_tokens = text_encoder.encode_batch(
         batch["expression"])
+    tok_dtype = (jnp.bfloat16 if train_cfg
+                 and train_cfg.get("bf16_token_transfer") else jnp.float32)
     out = {
-        "object_tokens": jnp.asarray(batch["object_tokens"]),
+        "object_tokens": jnp.asarray(batch["object_tokens"], tok_dtype),
         "track_mask": jnp.asarray(batch["track_mask"]),
         "frame_lengths": jnp.asarray(batch["frame_lengths"]),
         "lang_tokens": lang_tokens,
