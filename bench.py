@@ -170,6 +170,11 @@ def bench_loader_train(n_videos: int = 24, n_objects: int = 4,
                      # is the binding constraint for loader-fed training
                      "bf16_token_transfer": True}
         step = make_train_step(model, optimizer, train_cfg)
+        # device-resident token cache: one upload per video, device-side
+        # stack per batch — steady-state epochs ship only labels/masks/text
+        from sola_tpu.data.device_cache import DeviceTokenCache
+        import jax.numpy as jnp
+        cache = DeviceTokenCache(per_expression=False, dtype=jnp.bfloat16)
         text = CachingTextEncoder(HashTextEncoder(cfg.lang_token_dim))
         key = jax.random.PRNGKey(0)
 
@@ -179,10 +184,16 @@ def bench_loader_train(n_videos: int = 24, n_objects: int = 4,
             n = 0
             nbytes = 0
             for raw in loader:
-                b = prepare_batch(raw, text, train_cfg)
+                misses0 = cache.misses
+                b = prepare_batch(raw, text, train_cfg, token_cache=cache)
+                # transferred bytes: every non-token tensor + only the
+                # cache-miss token rows (hits never touch the host link)
                 nbytes += sum(int(np.prod(v.shape)) * v.dtype.itemsize
-                              for v in b.values()
-                              if hasattr(v, "dtype"))
+                              for k2, v in b.items()
+                              if hasattr(v, "dtype") and k2 != "object_tokens")
+                row_bytes = int(np.prod(
+                    b["object_tokens"].shape[1:])) * 2  # bf16
+                nbytes += (cache.misses - misses0) * row_bytes
                 st, _ = step(st, b, key)
                 n += int(np.sum(np.asarray(raw["track_mask"]).any(axis=1)))
             jax.block_until_ready(st.params)
@@ -197,9 +208,11 @@ def bench_loader_train(n_videos: int = 24, n_objects: int = 4,
             total += n
             total_bytes += nbytes
         elapsed = time.perf_counter() - t0
+        hit_rate = cache.hits / max(cache.hits + cache.misses, 1)
         return {"loader_train_pairs_per_s": round(total / elapsed, 2),
                 "loader_epoch_s": round(elapsed / epochs, 2),
                 "loader_epoch_pairs": n_pairs,
+                "loader_token_cache_hit_rate": round(hit_rate, 3),
                 # when this ~matches the link bandwidth, the epoch is
                 # host->device transfer-bound, not loader- or compute-bound
                 "loader_host_to_device_MBps": round(

@@ -81,8 +81,10 @@ class WSConv1d(nn.Module):
             (self.features,),
         )
         kernel = standardize_conv_kernel(kernel)
+        # lax.conv requires matching dtypes (no promotion): bf16-transferred
+        # tokens upcast to the param dtype here, on device
         y = jax.lax.conv_general_dilated(
-            x,
+            x.astype(kernel.dtype),
             kernel,
             window_strides=(self.stride,),
             padding=[(self.padding, self.padding)],

@@ -167,7 +167,8 @@ def make_mesh_context(train_cfg: dict):
     return _Ctx()
 
 
-def prepare_batch(batch: dict, text_encoder, train_cfg: Optional[dict] = None):
+def prepare_batch(batch: dict, text_encoder, train_cfg: Optional[dict] = None,
+                  token_cache=None):
     """Attach language tensors (and thresholded labels) to a collated batch.
 
     ``train_cfg["bf16_token_transfer"]``: send object tokens to the device
@@ -175,13 +176,21 @@ def prepare_batch(batch: dict, text_encoder, train_cfg: Optional[dict] = None):
     the step via type promotion). The tokens come out of SAM2's bf16
     autocast compute anyway (generate_tokens_grid.py:84-88), so the wire
     precision matches their provenance. Off by default for bit-parity.
+
+    ``token_cache``: a data.device_cache.DeviceTokenCache — batches then
+    reuse device-resident token blocks (one upload per video, device-side
+    stack per batch) instead of re-copying multi-MB arrays every step.
     """
     lang_tokens, lang_mask, pos_tokens = text_encoder.encode_batch(
         batch["expression"])
     tok_dtype = (jnp.bfloat16 if train_cfg
                  and train_cfg.get("bf16_token_transfer") else jnp.float32)
+    if token_cache is not None:
+        object_tokens = token_cache.batch_tokens(batch)
+    else:
+        object_tokens = jnp.asarray(batch["object_tokens"], tok_dtype)
     out = {
-        "object_tokens": jnp.asarray(batch["object_tokens"], tok_dtype),
+        "object_tokens": object_tokens,
         "track_mask": jnp.asarray(batch["track_mask"]),
         "frame_lengths": jnp.asarray(batch["frame_lengths"]),
         "lang_tokens": lang_tokens,
@@ -246,6 +255,14 @@ def train(configs: dict, max_steps_per_epoch: Optional[int] = None,
         log_fn(f"mesh training over {mesh_ctx.mesh_obj.devices.shape} "
                f"(data, model) devices")
 
+    token_cache = None
+    if bool(train_cfg.get("device_token_cache", True)):
+        from sola_tpu.data.device_cache import make_token_cache
+        token_cache = make_token_cache(
+            configs["dataset"].get("train"),
+            dtype=jnp.bfloat16 if train_cfg.get("bf16_token_transfer")
+            else jnp.float32)
+
     for epoch in range(start_epoch, int(train_cfg["n_epochs"])):
         t0 = time.time()
         # keep per-step metrics as device arrays; fetching only at epoch end
@@ -262,7 +279,8 @@ def train(configs: dict, max_steps_per_epoch: Optional[int] = None,
                 rng, step_rng = jax.random.split(rng)
                 if mesh_ctx is not None:
                     raw = mesh_ctx.pad_raw(raw)
-                batch = prepare_batch(raw, text_encoder, train_cfg)
+                batch = prepare_batch(raw, text_encoder, train_cfg,
+                                      token_cache=token_cache)
                 if mesh_ctx is not None:
                     batch = mesh_ctx.place_batch(batch)
                 tstate, metrics = train_step(tstate, batch, step_rng)
@@ -279,7 +297,8 @@ def train(configs: dict, max_steps_per_epoch: Optional[int] = None,
                 break
             if mesh_ctx is not None:
                 raw = mesh_ctx.pad_raw(raw)
-            batch = prepare_batch(raw, text_encoder, train_cfg)
+            batch = prepare_batch(raw, text_encoder, train_cfg,
+                                  token_cache=token_cache)
             if mesh_ctx is not None:
                 batch = mesh_ctx.place_batch(batch)
             metrics = eval_step(tstate.params, tstate.buffers, batch)

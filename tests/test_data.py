@@ -115,3 +115,56 @@ def test_masklet_services_empty_selection(tiny_dataset):
     assert pred is not None
     assert pred.sum() == 0
     assert pred.shape[0] == 24
+
+
+def test_device_token_cache_matches_direct_transfer(tiny_dataset):
+    """Cached (device-stacked) batch tokens must equal the direct-transfer
+    path, and repeat passes must hit instead of re-uploading."""
+    import jax.numpy as jnp
+
+    from sola_tpu.data.device_cache import DeviceTokenCache
+    from sola_tpu.models.text import HashTextEncoder
+    from sola_tpu.train.loop import prepare_batch
+
+    c = dict(tiny_dataset["configs"]["train"])
+    c["data_root"] = tiny_dataset["data_root"]
+    c["track_root"] = tiny_dataset["track_root"]
+    loader = Loader(AlignDataset(c), batch_size=2, shuffle=False)
+    text = HashTextEncoder(hidden_size=64, vocab_size=256)
+    cache = DeviceTokenCache(per_expression=False, dtype=jnp.float32)
+
+    for raw in loader:
+        direct = prepare_batch(raw, text)
+        cached = prepare_batch(raw, text, token_cache=cache)
+        np.testing.assert_array_equal(np.asarray(cached["object_tokens"]),
+                                      np.asarray(direct["object_tokens"]))
+    misses_after_pass1 = cache.misses
+    assert misses_after_pass1 > 0
+    for raw in loader:
+        prepare_batch(raw, text, token_cache=cache)
+    assert cache.misses == misses_after_pass1, "pass 2 must be all hits"
+    assert cache.hits > 0
+
+
+def test_device_token_cache_eviction_keeps_batch_rows(tiny_dataset):
+    """With a max_bytes of ~one row, every batch still assembles correctly
+    (live references protect in-batch rows from eviction)."""
+    import jax.numpy as jnp
+
+    from sola_tpu.data.device_cache import DeviceTokenCache
+    from sola_tpu.models.text import HashTextEncoder
+    from sola_tpu.train.loop import prepare_batch
+
+    c = dict(tiny_dataset["configs"]["train"])
+    c["data_root"] = tiny_dataset["data_root"]
+    c["track_root"] = tiny_dataset["track_root"]
+    loader = Loader(AlignDataset(c), batch_size=2, shuffle=False)
+    text = HashTextEncoder(hidden_size=64, vocab_size=256)
+    cache = DeviceTokenCache(per_expression=False, dtype=jnp.float32,
+                             max_bytes=1)
+    for raw in loader:
+        direct = prepare_batch(raw, text)
+        cached = prepare_batch(raw, text, token_cache=cache)
+        np.testing.assert_array_equal(np.asarray(cached["object_tokens"]),
+                                      np.asarray(direct["object_tokens"]))
+    assert len(cache._store) <= 1  # everything but the newest evicted
