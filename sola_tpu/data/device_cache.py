@@ -49,9 +49,7 @@ class DeviceTokenCache:
         return (video_id,
                 expression_id if self.per_expression else None, shape)
 
-    def batch_tokens(self, raw: dict) -> jax.Array:
-        """(B, n_bucket, t_bucket, d) device tokens for a collated batch,
-        stacked from cached per-sample blocks (host copy only on miss)."""
+    def _rows(self, raw: dict) -> list:
         tokens = raw["object_tokens"]  # (B, n, t, d) padded numpy
         rows = []
         for i, (vid, eid) in enumerate(zip(raw["video_id"],
@@ -73,7 +71,19 @@ class DeviceTokenCache:
                 self.hits += 1
                 self._store.move_to_end(key)
             rows.append(row)
-        return jnp.stack(rows, axis=0)
+        return rows
+
+    def batch_tokens(self, raw: dict) -> jax.Array:
+        """(B, n_bucket, t_bucket, d) device tokens for a collated batch,
+        stacked from cached per-sample blocks (host copy only on miss)."""
+        return jnp.stack(self._rows(raw), axis=0)
+
+    def batch_token_rows(self, raw: dict) -> tuple:
+        """Like batch_tokens but returns the per-sample device rows as a
+        tuple (a jit-able pytree): the train/eval steps stack them INSIDE
+        the compiled program, avoiding one extra device dispatch per batch
+        (dispatch latency is the residual cost once transfers are cached)."""
+        return tuple(self._rows(raw))
 
 
 def make_token_cache(dataset_cfg: Optional[dict],

@@ -41,9 +41,12 @@ def make_train_step(model: SelectionModel, optimizer, train_cfg: dict):
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: state_lib.TrainState, batch: dict, rng: jax.Array):
         def loss_fn(params):
+            obj = batch["object_tokens"]
+            if isinstance(obj, (tuple, list)):  # device-cached rows
+                obj = jnp.stack(obj, axis=0)
             score_logits, score_tokens = model.apply(
                 {"params": params, "buffers": state.buffers},
-                batch["object_tokens"], batch["lang_tokens"],
+                obj, batch["lang_tokens"],
                 track_mask=batch["track_mask"],
                 frame_lengths=batch["frame_lengths"],
                 lang_mask=batch["lang_mask"],
@@ -90,9 +93,12 @@ def make_eval_step(model: SelectionModel, train_cfg: dict,
 
     @jax.jit
     def eval_step(params, buffers, batch: dict):
+        obj = batch["object_tokens"]
+        if isinstance(obj, (tuple, list)):  # device-cached rows
+            obj = jnp.stack(obj, axis=0)
         score_logits, score_tokens = model.apply(
             {"params": params, "buffers": buffers},
-            batch["object_tokens"], batch["lang_tokens"],
+            obj, batch["lang_tokens"],
             track_mask=batch["track_mask"],
             frame_lengths=batch["frame_lengths"],
             lang_mask=batch["lang_mask"])
@@ -168,7 +174,7 @@ def make_mesh_context(train_cfg: dict):
 
 
 def prepare_batch(batch: dict, text_encoder, train_cfg: Optional[dict] = None,
-                  token_cache=None):
+                  token_cache=None, token_rows: bool = True):
     """Attach language tensors (and thresholded labels) to a collated batch.
 
     ``train_cfg["bf16_token_transfer"]``: send object tokens to the device
@@ -186,7 +192,11 @@ def prepare_batch(batch: dict, text_encoder, train_cfg: Optional[dict] = None,
     tok_dtype = (jnp.bfloat16 if train_cfg
                  and train_cfg.get("bf16_token_transfer") else jnp.float32)
     if token_cache is not None:
-        object_tokens = token_cache.batch_tokens(batch)
+        # rows as a pytree: the steps stack them inside the compiled
+        # program (no extra stack dispatch); mesh mode needs one stacked
+        # array for data-axis sharding
+        object_tokens = (token_cache.batch_tokens(batch) if not token_rows
+                         else token_cache.batch_token_rows(batch))
     else:
         object_tokens = jnp.asarray(batch["object_tokens"], tok_dtype)
     out = {
@@ -280,7 +290,8 @@ def train(configs: dict, max_steps_per_epoch: Optional[int] = None,
                 if mesh_ctx is not None:
                     raw = mesh_ctx.pad_raw(raw)
                 batch = prepare_batch(raw, text_encoder, train_cfg,
-                                      token_cache=token_cache)
+                                      token_cache=token_cache,
+                                      token_rows=mesh_ctx is None)
                 if mesh_ctx is not None:
                     batch = mesh_ctx.place_batch(batch)
                 tstate, metrics = train_step(tstate, batch, step_rng)
@@ -298,7 +309,8 @@ def train(configs: dict, max_steps_per_epoch: Optional[int] = None,
             if mesh_ctx is not None:
                 raw = mesh_ctx.pad_raw(raw)
             batch = prepare_batch(raw, text_encoder, train_cfg,
-                                  token_cache=token_cache)
+                                  token_cache=token_cache,
+                                  token_rows=mesh_ctx is None)
             if mesh_ctx is not None:
                 batch = mesh_ctx.place_batch(batch)
             metrics = eval_step(tstate.params, tstate.buffers, batch)
