@@ -133,7 +133,10 @@ def bench_train_step(batch: int = 8, n_tracks: int = 64, n_frames: int = 64,
 
 def bench_loader_train(n_videos: int = 24, n_objects: int = 4,
                        n_distractors: int = 36, n_frames: int = 64,
-                       batch: int = 8, epochs: int = 2) -> dict:
+                       batch: int = 16, epochs: int = 2) -> dict:
+    # batch 16: with tokens device-cached, per-batch dispatch latency is
+    # the residual bound; bigger batches amortize it (the reference is
+    # pinned to batch_size=1 — batching pairs is this rebuild's headroom)
     """Measured loader+train throughput on an on-disk synthetic dataset
     (sam2_tracks layout, one token .npy per track like the reference's
     dataloader.py:162): does the input pipeline feed the train step?"""
@@ -192,7 +195,7 @@ def bench_loader_train(n_videos: int = 24, n_objects: int = 4,
                               for k2, v in b.items()
                               if hasattr(v, "dtype") and k2 != "object_tokens")
                 row_bytes = int(np.prod(
-                    b["object_tokens"].shape[1:])) * 2  # bf16
+                    raw["object_tokens"].shape[1:])) * 2  # bf16
                 nbytes += (cache.misses - misses0) * row_bytes
                 st, _ = step(st, b, key)
                 n += int(np.sum(np.asarray(raw["track_mask"]).any(axis=1)))
