@@ -18,33 +18,34 @@ compcache.enable()
 
 
 def main() -> None:
-    from sola_tpu.trackgen.gdino.model import load_grounding_dino
+    import jax.numpy as jnp
+
+    from sola_tpu.trackgen.gdino.model import GroundingModel, build_gdino
 
     t0 = time.perf_counter()
-    gm = load_grounding_dino(None)
+    model, variables = build_gdino(None)
     t_build = time.perf_counter() - t0
 
     rng = np.random.default_rng(0)
     image = rng.integers(0, 255, (480, 854, 3), dtype=np.uint8)
     text = "a red car driving down the street."
+    out = {"gdino_build_s": round(t_build, 2),
+           "canvas": "800x1333-class (aspect preserving)"}
 
-    t0 = time.perf_counter()
-    gm.get_boxes(image, text)
-    t_first = time.perf_counter() - t0  # includes jit compile
-
-    t0 = time.perf_counter()
-    n_steady = 3
-    for _ in range(n_steady):
+    for name, dtype in (("fp32", None), ("bf16", jnp.bfloat16)):
+        gm = GroundingModel(model, variables, compute_dtype=dtype)
+        t0 = time.perf_counter()
         gm.get_boxes(image, text)
-    t_steady = (time.perf_counter() - t0) / n_steady
-
-    print(json.dumps({
-        "gdino_build_s": round(t_build, 2),
-        "gdino_first_call_s": round(t_first, 2),
-        "gdino_steady_s_per_image": round(t_steady, 4),
-        "gdino_steady_fps": round(1.0 / t_steady, 2),
-        "canvas": "800x1333-class (aspect preserving)",
-    }))
+        out[f"gdino_{name}_first_call_s"] = round(
+            time.perf_counter() - t0, 2)  # includes jit compile
+        t0 = time.perf_counter()
+        n_steady = 3
+        for _ in range(n_steady):
+            gm.get_boxes(image, text)
+        t = (time.perf_counter() - t0) / n_steady
+        out[f"gdino_{name}_steady_s_per_image"] = round(t, 4)
+        out[f"gdino_{name}_steady_fps"] = round(1.0 / t, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -608,10 +608,21 @@ class GroundingModel:
     """get_boxes(image, text) facade over the jitted GroundingDINO forward."""
 
     def __init__(self, model: GroundingDINO, variables: dict,
-                 tokenizer=None, max_text_len: int = 64):
+                 tokenizer=None, max_text_len: int = 64,
+                 compute_dtype=None):
+        """``compute_dtype=jnp.bfloat16`` casts parameters for bf16 compute
+        (the fp32 constants inside the model re-promote locally where
+        stability needs it); outputs are fetched and thresholded in fp32.
+        Mirrors the SAM2 predictors' bf16 policy."""
         self.model = model
         self.cfg = model.cfg
         self.variables = variables
+        if compute_dtype is not None:
+            variables = jax.tree_util.tree_map(
+                lambda x: x.astype(compute_dtype)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                variables)
+        self.compute_variables = variables
         self.hf_tokenizer = tokenizer is not None and hasattr(
             tokenizer, "decode")
         if tokenizer is None:
@@ -655,12 +666,13 @@ class GroundingModel:
         h, w = image.shape[:2]
         canvas, pmask, _ = preprocess_image(image, self.cfg)
         ids, tmask, smask, pids = self._tokenize(text)
-        out = self._forward(self.variables, canvas[None], pmask[None],
+        out = self._forward(self.compute_variables, canvas[None], pmask[None],
                             jnp.asarray(ids), jnp.asarray(tmask),
                             jnp.asarray(smask), jnp.asarray(pids))
-        logits = np.asarray(jax.nn.sigmoid(out["pred_logits"][0]))
+        logits = np.asarray(jax.nn.sigmoid(out["pred_logits"][0]),
+                            dtype=np.float32)
         logits = np.where(np.isfinite(logits), logits, 0.0)
-        boxes = np.asarray(out["pred_boxes"][0])
+        boxes = np.asarray(out["pred_boxes"][0], dtype=np.float32)
         n_tokens = int(tmask.sum())
         keep = logits.max(axis=-1) > box_threshold
         preds = []
@@ -714,6 +726,7 @@ def build_gdino(ckpt_path: Optional[str] = None,
 
 
 def load_grounding_dino(ckpt_path: Optional[str] = None,
-                        cfg: Optional[GDINOConfig] = None) -> GroundingModel:
+                        cfg: Optional[GDINOConfig] = None,
+                        compute_dtype=None) -> GroundingModel:
     model, variables = build_gdino(ckpt_path, cfg)
-    return GroundingModel(model, variables)
+    return GroundingModel(model, variables, compute_dtype=compute_dtype)

@@ -115,3 +115,25 @@ def test_grounding_model_get_boxes(tiny_gdino):
     assert p["bbox"].shape == (4,)
     assert -72 <= p["bbox"][0] <= 144
     assert len(p["token_score"]) >= 1
+
+
+def test_grounding_model_bf16_matches_fp32(tiny_gdino):
+    """bf16 compute path: same proposals as fp32 within bf16 tolerance."""
+    (model, variables), cfg = tiny_gdino
+    rng = np.random.default_rng(3)
+    image = rng.integers(0, 255, (48, 72, 3), dtype=np.uint8)
+
+    gm32 = GroundingModel(model, variables)
+    gm16 = GroundingModel(model, variables, compute_dtype=jnp.bfloat16)
+    p32 = gm32.get_boxes(image, "the red car.", box_threshold=-1.0)
+    p16 = gm16.get_boxes(image, "the red car.", box_threshold=-1.0)
+    assert len(p32) == len(p16)
+    b32 = np.stack([p["bbox"] for p in p32])
+    b16 = np.stack([p["bbox"] for p in p16])
+    # boxes live in pixel units (<=72). bf16 logit drift can swap entries
+    # of the two-stage top-k query selection on a RANDOM tiny net (trained
+    # logits have real margins), so require: most boxes match tightly and
+    # the median drift is sub-pixel-scale rather than exact equality.
+    err = np.abs(b16 - b32).max(axis=1)
+    assert (err < 3.0).mean() >= 0.8, err
+    assert np.median(err) < 1.0, err
