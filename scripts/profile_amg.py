@@ -63,25 +63,24 @@ def main(points_per_batch: int = 128, frames: int = 4) -> None:
                     [batch, np.tile(batch[-1:], (bsz - len(batch), 1))], 0)
             pending.append(pred.propose_device(
                 batch[:, None, :], amg.stability_score_offset))
-        kept_dev, kept_iou = [], []
-        for ious_dev, stab_dev, low_dev in pending:
+        kept_iou, kept_flat = [], []
+        for bi, (ious_dev, stab_dev, _) in enumerate(pending):
             ious = np.asarray(ious_dev)
             stab = np.asarray(stab_dev)
             keep = (ious > amg.pred_iou_thresh) & (
                 stab > amg.stability_score_thresh)
             idx_n, idx_k = np.nonzero(keep)
-            if len(idx_n):
-                kept_dev.append(low_dev[jnp.asarray(idx_n),
-                                        jnp.asarray(idx_k)])
-                kept_iou.extend(float(x) for x in ious[idx_n, idx_k])
+            kept_flat.extend((bi * bsz + idx_n) * ious.shape[1] + idx_k)
+            kept_iou.extend(float(x) for x in ious[idx_n, idx_k])
         t["propose"] += time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        low_all = jnp.concatenate(kept_dev, axis=0)
-        k = low_all.shape[0]
+        k = len(kept_flat)
         k_pad = ((k + 31) // 32) * 32
-        low_all = jnp.pad(low_all, ((0, k_pad - k), (0, 0), (0, 0)),
-                          constant_values=-10.0)
+        idx = np.asarray(kept_flat + [kept_flat[0]] * (k_pad - k), np.int32)
+        low_full = jnp.concatenate([p[2] for p in pending], axis=0)
+        lh, lw = low_full.shape[-2:]
+        low_all = low_full.reshape(-1, lh, lw)[jnp.asarray(idx)]
         packed_dev, boxes, areas = pred.finalize_masks_device(low_all, h, w)
         boxes, areas = boxes[:k], areas[:k]
         idxs = np.nonzero(areas > 0)[0]

@@ -111,35 +111,42 @@ class SAM2AutomaticMaskGenerator:
                 batch[:, None, :], self.stability_score_offset)
             pending.append((batch, valid, ious_dev, stab_dev, low_dev))
 
-        kept_dev, kept_iou, kept_stab, kept_pts = [], [], [], []
-        for batch, valid, ious_dev, stab_dev, low_dev in pending:
+        # host: one keep decision over all batches; device: ONE gather with
+        # bucket-padded indices (data-dependent shapes would compile a
+        # fresh program per survivor count on every real frame)
+        kept_iou, kept_stab, kept_pts, kept_flat_idx = [], [], [], []
+        for bi, (batch, valid, ious_dev, stab_dev, low_dev) in enumerate(
+                pending):
             ious = np.asarray(ious_dev)
             stab = np.asarray(stab_dev)
             keep = (ious > self.pred_iou_thresh) & (
                 stab > self.stability_score_thresh)
             keep[valid:] = False
             idx_n, idx_k = np.nonzero(keep)
-            if len(idx_n) == 0:
-                continue
-            kept_dev.append(low_dev[jnp.asarray(idx_n), jnp.asarray(idx_k)])
+            kept_flat_idx.extend(
+                (bi * bsz + idx_n) * ious.shape[1] + idx_k)
             kept_iou.extend(float(x) for x in ious[idx_n, idx_k])
             kept_stab.extend(float(x) for x in stab[idx_n, idx_k])
             kept_pts.extend(batch[i] for i in idx_n)
 
-        if not kept_dev:
+        if not kept_flat_idx:
             return []
+        k = len(kept_flat_idx)
+        k_pad = ((k + 31) // 32) * 32
+        # bucket-pad by repeating a real row: every device gather below has
+        # one of O(1) static shapes, not one per survivor count
+        idx = np.asarray(kept_flat_idx + [kept_flat_idx[0]] * (k_pad - k),
+                         np.int32)
+        low_full = jnp.concatenate([p[4] for p in pending], axis=0)
+        lh, lw = low_full.shape[-2:]
+        low_all = low_full.reshape(-1, lh, lw)[jnp.asarray(idx)]
 
         # upscale only the survivors, threshold on device; boxes/areas come
         # from device reductions and the bit-packed masks STAY on device —
         # NMS runs on the cheap host boxes and only the kept rows are ever
-        # fetched (count padded to a bucket so finalize compiles O(1) times)
+        # fetched
         from sola_tpu.trackgen.sam2.image import unpack_masks
 
-        low_all = jnp.concatenate(kept_dev, axis=0)
-        k = low_all.shape[0]
-        k_pad = ((k + 31) // 32) * 32
-        low_all = jnp.pad(low_all, ((0, k_pad - k), (0, 0), (0, 0)),
-                          constant_values=-10.0)
         packed_dev, boxes, areas = self.predictor.finalize_masks_device(
             low_all, h, w)
         boxes, areas = boxes[:k], areas[:k]
@@ -157,7 +164,11 @@ class SAM2AutomaticMaskGenerator:
             fetch_masks = lambda keep: masks[keep]  # already on host
         else:
             def fetch_masks(keep):
-                sel = np.asarray(packed_dev[jnp.asarray(keep)])
+                kk = len(keep)
+                kk_pad = ((kk + 15) // 16) * 16
+                keep_p = np.concatenate(
+                    [keep, np.full(kk_pad - kk, keep[0], keep.dtype)])
+                sel = np.asarray(packed_dev[jnp.asarray(keep_p)])[:kk]
                 return unpack_masks(sel, h, w)
 
         nonempty = areas > max(self.min_mask_region_area, 0)
