@@ -68,10 +68,19 @@ def _batched_dedup_ious(masklet_small: np.ndarray,
         if getattr(p, "_small", None) is None or p._small.shape != hw:
             p._small = _resize_nearest(p.segmentation, hw)
         small.append(p._small)
-    prompt_masks = jnp.asarray(np.stack(small, axis=0))
-    frame_idxs = jnp.asarray([p.frame_idx for p in prompts], jnp.int32)
-    frames = jnp.asarray(masklet_small)[frame_idxs]
-    return np.asarray(mask_iou(frames, prompt_masks))
+    # bucket-pad the prompt axis: the remaining-prompt count shrinks every
+    # dedup round, and an exact-shaped program per count would recompile
+    # through the backend on each iteration of every real video
+    n = len(small)
+    n_pad = 1
+    while n_pad < n:
+        n_pad *= 2
+    masks_np = np.zeros((n_pad,) + hw, np.float32)
+    masks_np[:n] = np.stack(small, axis=0)
+    idx_np = np.zeros((n_pad,), np.int32)
+    idx_np[:n] = [p.frame_idx for p in prompts]
+    frames = jnp.asarray(masklet_small)[jnp.asarray(idx_np)]
+    return np.asarray(mask_iou(frames, jnp.asarray(masks_np)))[:n]
 
 
 def generate_tracks(
