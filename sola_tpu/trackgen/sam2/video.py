@@ -191,15 +191,23 @@ class SAM2VideoPredictor:
 
         self._scan_pass = scan_pass
 
-        # resize + threshold on device; only uint8 masks cross to host
-        # (4x less transfer than fp32 logits — the host link is the
+        # resize + threshold + bit-pack on device; 1 bit/pixel crosses to
+        # host (32x less transfer than fp32 logits — the host link is the
         # bottleneck for mask-dense outputs)
-        self._resize_batch = jax.jit(
-            lambda lo, h, w: (jax.image.resize(
+        def _resize_pack(lo, h, w):
+            m = jax.image.resize(
                 lo.astype(jnp.float32),
-                (lo.shape[0], lo.shape[1], h, w),
-                method="linear") > 0.0).astype(jnp.uint8),
-            static_argnums=(1, 2))
+                (lo.shape[0], lo.shape[1], h, w), method="linear") > 0.0
+            w8 = (w + 7) // 8 * 8
+            bits = jnp.pad(
+                m, ((0, 0), (0, 0), (0, 0), (0, w8 - w))).astype(jnp.uint8)
+            weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+            return jnp.sum(
+                bits.reshape(m.shape[0], m.shape[1], h, w8 // 8, 8)
+                * weights, axis=-1, dtype=jnp.uint8)
+
+        self._resize_batch_packed = jax.jit(_resize_pack,
+                                            static_argnums=(1, 2))
 
     # ------------------------------------------------------------------
     # Protocol
@@ -420,7 +428,11 @@ class SAM2VideoPredictor:
         for cstart in range(0, n_valid, chunk):
             cend = min(cstart + chunk, n_valid)
             lo = low_res[cstart:cend, :n_obj]
-            hi_np = np.asarray(self._resize_batch(lo, oh, ow))  # uint8 masks
+            packed = np.asarray(self._resize_batch_packed(lo, oh, ow))
+            bsz, nob = packed.shape[:2]
+            hi_np = np.unpackbits(
+                packed.reshape(bsz * nob, -1), axis=1).reshape(
+                    bsz, nob, oh, -1)[..., :ow]
             toks = np.asarray(obj_ptrs[cstart:cend])
             for j in range(cend - cstart):
                 fidx = int(frame_idxs[cstart + j])
