@@ -34,11 +34,12 @@ def main(n_frames: int = 32, obj_batch: int = 4) -> None:
     # frame encoding: first video includes compile; second is steady state
     t0 = time.perf_counter()
     state = pred.init_state(frames)
-    jax.block_until_ready(state.features["pix"])
+    float(state.features["pix"].astype("float32").sum())
     t_encode_cold = time.perf_counter() - t0
     t0 = time.perf_counter()
     state = pred.init_state(frames)
-    jax.block_until_ready(state.features["pix"])
+    # value fetch: block_until_ready can ack before execution completes
+    float(state.features["pix"].astype("float32").sum())
     t_encode = time.perf_counter() - t0
 
     mask = np.zeros((480, 854), np.float32)

@@ -46,7 +46,7 @@ def main(points_per_batch: int = 128, frames: int = 4) -> None:
     for _ in range(frames):
         t0 = time.perf_counter()
         pred.set_image(image)
-        jax.block_until_ready(pred._feats["pix"])
+        float(pred._feats["pix"].astype(jnp.float32).sum())
         t["encode"] += time.perf_counter() - t0
 
         h, w = image.shape[:2]
