@@ -120,13 +120,15 @@ def main(batch=8, n_tracks=64, n_frames=64, n_words=16, n_steps=24,
         key = jax.random.PRNGKey(0)
         try:
             tstate, parts = step(tstate, batch_data, key)
-            jax.block_until_ready(tstate.params)
+            float(parts["total"])  # value fetch: real completion barrier
             best = float("inf")
             for _ in range(iters):
                 t0 = time.perf_counter()
                 for _ in range(n_steps):
                     tstate, parts = step(tstate, batch_data, key)
-                jax.block_until_ready(tstate.params)
+                # the loss fetch transitively waits the state-chained window
+                # (block_until_ready can ack early through the relay)
+                float(parts["total"])
                 best = min(best, time.perf_counter() - t0)
             results[name] = {
                 "pairs_per_s": round(n_steps * batch / best, 2),
