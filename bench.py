@@ -308,14 +308,36 @@ def bench_trackgen(n_frames: int, obj_batch: int = 4) -> dict:
     return out
 
 
+class _SectionTimeout(Exception):
+    pass
+
+
+def _with_timeout(fn, seconds: int):
+    """Bound one bench section: the remote-relay backend can stall a
+    request indefinitely (observed); a hung section must cost minutes,
+    not the whole benchmark."""
+    import signal
+
+    def handler(signum, frame):
+        raise _SectionTimeout(f"section exceeded {seconds}s")
+
+    old = signal.signal(signal.SIGALRM, handler)
+    signal.alarm(seconds)
+    try:
+        return fn()
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
 def main() -> None:
     metrics: dict = {}
     errors: dict = {}
-    for name, fn in [("selection", bench_selection),
-                     ("train", bench_train_step),
-                     ("loader", bench_loader_train)]:
+    for name, fn, budget in [("selection", bench_selection, 1200),
+                             ("train", bench_train_step, 1200),
+                             ("loader", bench_loader_train, 1500)]:
         try:
-            metrics.update(fn())
+            metrics.update(_with_timeout(fn, budget))
         except Exception as e:  # report partial results, never crash
             errors[name] = f"{type(e).__name__}: {e}"
     if ("loader_train_pairs_per_s" in metrics
@@ -327,8 +349,10 @@ def main() -> None:
         metrics["train_step_idle_frac"] = round(max(0.0, 1.0 - ratio), 3)
     if os.environ.get("SOLA_BENCH_SKIP_TRACKGEN") != "1":
         try:
-            metrics.update(bench_trackgen(
-                n_frames=int(os.environ.get("SOLA_BENCH_FRAMES", "32"))))
+            metrics.update(_with_timeout(
+                lambda: bench_trackgen(
+                    n_frames=int(os.environ.get("SOLA_BENCH_FRAMES", "32"))),
+                3000))
         except Exception as e:
             errors["trackgen"] = f"{type(e).__name__}: {e}"
 
