@@ -44,7 +44,9 @@ def main():
 
     from sola_tpu.ops.flash_attention import fused_attention
 
-    b, h, lq, lk, d = 4, 1, 4096, 7 * 4096 + 64, 64
+    # production memory-attention shape: num_heads=1 with head_dim 256
+    # (d_model); k/v are projected UP from mem_dim 64 to 256 before QK
+    b, h, lq, lk, d = 4, 1, 4096, 7 * 4096 + 64, 256
     key = jax.random.PRNGKey(0)
     q = jax.random.normal(key, (b, h, lq, d), jnp.bfloat16)
     k = jax.random.normal(key, (b, h, lk, d), jnp.bfloat16)
