@@ -138,8 +138,12 @@ def main(argv=None, generator_factory=None) -> None:
     parser.add_argument("--bin_size", type=int, default=4)
     parser.add_argument("--box_threshold", type=float, default=0.2)
     parser.add_argument("--text_threshold", type=float, default=0.25)
+    parser.add_argument("--sam2_cfg", type=str, default=None,
+                        help="accepted for reference CLI compatibility; the architecture is code-defined")
     parser.add_argument("--sam2_ckpt", type=str,
                         default="pretrained_models/sam2_hiera_large.pt")
+    parser.add_argument("--gdino_cfg", type=str, default=None,
+                        help="accepted for reference CLI compatibility; the architecture is code-defined")
     parser.add_argument("--gdino_ckpt", type=str,
                         default="pretrained_models/groundingdino_swint_ogc.pth")
     parser.add_argument("--save_iou", action="store_true")
@@ -147,7 +151,8 @@ def main(argv=None, generator_factory=None) -> None:
     # parity; bf16 measured ~2x on TPU with negligible box drift)
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--pid", type=int, default=0)
-    parser.add_argument("--n_pids", type=int, default=1)
+    parser.add_argument("--n_pids", "--n_pid", dest="n_pids",
+                        type=int, default=1)
     parser.add_argument("--data_root", type=str, default=".")
     parser.add_argument("--output_root", type=str, default=".")
     args = parser.parse_args(argv)

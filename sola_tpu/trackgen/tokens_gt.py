@@ -86,11 +86,14 @@ def main(argv=None, predictor_factory=None) -> None:
     parser.add_argument("--dataset", type=str, default="mevis",
                         choices=["mevis", "ref-ytbvos", "ref-davis"])
     parser.add_argument("--data_type", type=str, default="train")
+    parser.add_argument("--sam2_cfg", type=str, default=None,
+                        help="accepted for reference CLI compatibility; the architecture is code-defined")
     parser.add_argument("--sam2_ckpt", type=str,
                         default="pretrained_models/sam2_hiera_large.pt")
     parser.add_argument("--save_prec_rec_iou", action="store_true")
     parser.add_argument("--pid", type=int, default=0)
-    parser.add_argument("--n_pids", type=int, default=1)
+    parser.add_argument("--n_pids", "--n_pid", dest="n_pids",
+                        type=int, default=1)
     parser.add_argument("--data_root", type=str, default=".")
     parser.add_argument("--output_root", type=str, default=".")
     args = parser.parse_args(argv)
