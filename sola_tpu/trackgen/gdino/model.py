@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -708,6 +709,11 @@ class GroundingModel:
 
 def build_gdino(ckpt_path: Optional[str] = None,
                 cfg: Optional[GDINOConfig] = None, seed: int = 0):
+    # model family: the swinb_cogcoor checkpoint selects the Swin-B
+    # backbone automatically (upstream GroundingDINO_SwinB config)
+    if cfg is None and ckpt_path and "swinb" in os.path.basename(
+            ckpt_path).lower():
+        cfg = GDINOConfig(swin=SwinConfig.base())
     if ckpt_path:
         from sola_tpu.trackgen.gdino.convert import \
             build_gdino_from_checkpoint

@@ -27,6 +27,13 @@ class SwinConfig:
     patch_size: int = 4
     out_indices: tuple = (1, 2, 3)
 
+    # GroundingDINO backbone family: default = Swin-T (swint_ogc ckpt);
+    # Swin-B matches the groundingdino_swinb_cogcoor checkpoint
+    @classmethod
+    def base(cls) -> "SwinConfig":
+        return cls(embed_dim=128, depths=(2, 2, 18, 2),
+                   num_heads=(4, 8, 16, 32), window_size=12)
+
     @classmethod
     def tiny_test(cls) -> "SwinConfig":
         return cls(embed_dim=16, depths=(1, 1, 1, 1), num_heads=(1, 2, 2, 2),

@@ -420,11 +420,39 @@ def _init_variables(cfg: SAM2Config, seed: int = 0):
     return model, model.init(jax.random.PRNGKey(seed), img)
 
 
+def sam2_config_for(size: str) -> SAM2Config:
+    """SAM2 model family: 'tiny' | 'small' | 'base_plus' | 'large'
+    (upstream sam2_hiera_{t,s,b+,l}.yaml backbones; everything outside the
+    image encoder is shared across sizes)."""
+    import dataclasses
+
+    from sola_tpu.trackgen.sam2.hiera import HieraConfig
+    from sola_tpu.trackgen.sam2.image_encoder import ImageEncoderConfig
+
+    hiera = {
+        "tiny": HieraConfig.tiny, "small": HieraConfig.small,
+        "base_plus": HieraConfig.base_plus, "large": HieraConfig.large,
+    }[size]()
+    base = SAM2Config.large()
+    return dataclasses.replace(
+        base, image_encoder=ImageEncoderConfig(hiera=hiera))
+
+
 def build_sam2(ckpt_path: Optional[str] = None,
-               cfg: Optional[SAM2Config] = None, seed: int = 0):
+               cfg: Optional[SAM2Config] = None, seed: int = 0,
+               size: str = "large"):
     """Build (model, variables); loads + converts the checkpoint when the
-    path exists, else random init (air-gapped smoke mode)."""
-    cfg = cfg or SAM2Config.large()
+    path exists, else random init (air-gapped smoke mode). ``size`` picks
+    the hiera backbone when no explicit cfg is given; the checkpoint name
+    (sam2_hiera_{tiny,small,base_plus,large}.pt) selects it automatically.
+    """
+    if cfg is None and ckpt_path:
+        stem = os.path.basename(ckpt_path)
+        for s in ("tiny", "small", "base_plus", "large"):
+            if s in stem:
+                size = s
+                break
+    cfg = cfg or sam2_config_for(size)
     model, variables = _init_variables(cfg, seed)
     if ckpt_path and os.path.exists(ckpt_path):
         state = load_checkpoint_state(ckpt_path)

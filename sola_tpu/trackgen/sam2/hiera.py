@@ -42,6 +42,23 @@ class HieraConfig:
     def large(cls) -> "HieraConfig":
         return cls()
 
+    # upstream SAM2 model family (sam2_hiera_{t,s,b+}.yaml backbone blocks)
+    @classmethod
+    def tiny(cls) -> "HieraConfig":
+        return cls(embed_dim=96, num_heads=1, stages=(1, 2, 7, 2),
+                   global_att_blocks=(5, 7, 9), window_spec=(8, 4, 14, 7))
+
+    @classmethod
+    def small(cls) -> "HieraConfig":
+        return cls(embed_dim=96, num_heads=1, stages=(1, 2, 11, 2),
+                   global_att_blocks=(7, 10, 13), window_spec=(8, 4, 14, 7))
+
+    @classmethod
+    def base_plus(cls) -> "HieraConfig":
+        return cls(embed_dim=112, num_heads=2, stages=(2, 3, 16, 3),
+                   global_att_blocks=(12, 16, 20), window_spec=(8, 4, 14, 7),
+                   window_pos_embed_bkg_spatial_size=(14, 14))
+
     @classmethod
     def tiny_test(cls) -> "HieraConfig":
         """Small config for unit tests (4 stages, 1 block each)."""

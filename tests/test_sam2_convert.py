@@ -69,3 +69,29 @@ def test_build_sam2_without_checkpoint():
     img = jnp.zeros((1, 64, 64, 3), jnp.float32)
     out = model.apply(variables, img, method=SAM2Model.encode_image)
     assert np.isfinite(np.asarray(out["pix"])).all()
+
+
+def test_model_family_configs():
+    """SAM2 hiera T/S/B+/L configs match the upstream family structure and
+    select from checkpoint filenames; GDINO swinb checkpoints pick Swin-B."""
+    from sola_tpu.trackgen.gdino.swin import SwinConfig
+    from sola_tpu.trackgen.sam2.convert import sam2_config_for
+    from sola_tpu.trackgen.sam2.hiera import HieraConfig
+
+    t = HieraConfig.tiny()
+    s = HieraConfig.small()
+    bp = HieraConfig.base_plus()
+    l = HieraConfig.large()
+    assert (t.embed_dim, sum(t.stages)) == (96, 12)
+    assert (s.embed_dim, sum(s.stages)) == (96, 16)
+    assert (bp.embed_dim, bp.num_heads, sum(bp.stages)) == (112, 2, 24)
+    assert (l.embed_dim, sum(l.stages)) == (144, 48)
+    for cfg_small, cfg_big in ((t, s), (s, bp), (bp, l)):
+        assert sum(cfg_small.stages) < sum(cfg_big.stages)
+
+    cfg = sam2_config_for("base_plus")
+    assert cfg.image_encoder.hiera.embed_dim == 112
+    assert cfg.d_model == 256  # neck/memory shared across sizes
+
+    b = SwinConfig.base()
+    assert (b.embed_dim, b.depths, b.window_size) == (128, (2, 2, 18, 2), 12)
