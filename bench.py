@@ -1,7 +1,7 @@
 """Driver benchmark: one JSON line covering BOTH pipeline stages.
 
 Headline metric: SAM2 propagation throughput in object-frames/s (hiera-L,
-1024px, 4-object batch, 480x854 frames) — the hot loop where the reference's
+1024px, 8-object batch, 480x854 frames) — the hot loop where the reference's
 end-to-end track-generation time is spent (SURVEY.md §3.4). ``vs_baseline``
 compares against upstream SAM2 hiera-L propagation on an A100, ~15-20 fps at
 ONE object => ~17.5 object-frames/s (the reference's own execution model:
