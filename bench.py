@@ -281,9 +281,12 @@ def bench_trackgen(n_frames: int, obj_batch: int = 8) -> dict:
         return n
 
     run_pass()  # warmup/compile
-    t0 = time.perf_counter()
-    n = run_pass()
-    t_prop = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(2):  # best-of-2: the tunneled link's speed varies
+        t0 = time.perf_counter()
+        n = run_pass()
+        best = min(best, time.perf_counter() - t0)
+    t_prop = best
     out = {
         "sam2_encode_fps": round(n_frames / t_encode, 2),
         "sam2_propagation_fps": round(n / t_prop, 2),
