@@ -43,6 +43,18 @@ class SAM2ImagePredictor:
         self._encode = jax.jit(lambda v, img: model.apply(
             v, img, method=SAM2Model.encode_image))
 
+        # raw uint8 in: 1-byte/pixel upload + one dispatch (fp32 frames
+        # would ship 4x the bytes over the host link)
+        s_ = self.cfg.image_size
+
+        def _encode_raw(v, raw):  # (H, W, 3) uint8
+            x = jax.image.resize(raw.astype(jnp.float32), (s_, s_, 3),
+                                 method="linear")
+            img = normalize_image(x.astype(jnp.uint8))
+            return model.apply(v, img[None], method=SAM2Model.encode_image)
+
+        self._encode_raw = jax.jit(_encode_raw)
+
         def _predict(v, pix, s0, s1, coords, labels, multimask):
             # batch-1 features in, per-prompt broadcast fused inside jit
             n = coords.shape[0]
@@ -130,12 +142,9 @@ class SAM2ImagePredictor:
 
     def set_image(self, image: np.ndarray) -> None:
         """(H, W, 3) uint8."""
-        s = self.cfg.image_size
         self._orig_hw = image.shape[:2]
-        img = jax.image.resize(jnp.asarray(image, jnp.float32), (s, s, 3),
-                               method="linear")
-        img = normalize_image(img.astype(jnp.uint8))
-        self._feats = self._encode(self.compute_variables, img[None])
+        self._feats = self._encode_raw(
+            self.compute_variables, jnp.asarray(image, jnp.uint8))
 
     def _scale_coords(self, coords: np.ndarray) -> np.ndarray:
         h, w = self._orig_hw

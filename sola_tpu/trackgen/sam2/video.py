@@ -95,6 +95,20 @@ class SAM2VideoPredictor:
 
         self._encode_image = jax.jit(
             lambda v, img: _japply(v, SAM2Model.encode_image, img))
+
+        # raw uint8 frames in, features out: ONE dispatch per chunk and a
+        # 1-byte/pixel upload (fp32 frames would ship 4x the bytes over the
+        # host link); resize->uint8->normalize matches the per-frame path
+        s_ = cfg.image_size
+
+        def _encode_from_raw(v, raw):  # (chunk, H, W, 3) uint8
+            x = jax.image.resize(
+                raw.astype(jnp.float32),
+                (raw.shape[0], s_, s_, 3), method="linear")
+            return _japply(v, SAM2Model.encode_image,
+                           normalize_image(x.astype(jnp.uint8)))
+
+        self._encode_from_raw = jax.jit(_encode_from_raw)
         self._mask_as_output = jax.jit(
             lambda v, pix, s0, s1, m: _japply(
                 v, SAM2Model.mask_as_output, pix, s0, s1, m))
@@ -227,16 +241,15 @@ class SAM2VideoPredictor:
         pos = None
         chunk = self.encode_chunk
         for start in range(0, t, chunk):
-            batch = frames[start:start + chunk]
-            imgs = jnp.stack([
-                normalize_image(jnp.asarray(jax.image.resize(
-                    jnp.asarray(f, jnp.float32), (s, s, 3),
-                    method="linear"), jnp.float32).astype(jnp.uint8))
-                for f in batch], axis=0)
-            f = self._encode_image(self.compute_variables, imgs)
-            pix_list.append(f["pix"].astype(self.feature_dtype))
-            s0_list.append(f["s0"].astype(self.feature_dtype))
-            s1_list.append(f["s1"].astype(self.feature_dtype))
+            batch = list(frames[start:start + chunk])
+            n_valid = len(batch)
+            if n_valid < chunk:  # pad to one static chunk shape
+                batch = batch + [batch[-1]] * (chunk - n_valid)
+            raw = jnp.asarray(np.stack(batch, axis=0))  # uint8 upload
+            f = self._encode_from_raw(self.compute_variables, raw)
+            pix_list.append(f["pix"][:n_valid].astype(self.feature_dtype))
+            s0_list.append(f["s0"][:n_valid].astype(self.feature_dtype))
+            s1_list.append(f["s1"][:n_valid].astype(self.feature_dtype))
             if pos is None:
                 pos = f["pos"][0]
         features = {
