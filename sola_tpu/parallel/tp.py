@@ -23,6 +23,7 @@ driver's `dryrun_multichip` exercises end-to-end.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -66,11 +67,29 @@ def shard_params(mesh: Mesh, params):
 
 
 def shard_train_state(mesh: Mesh, tstate, optimizer):
-    """TP-shard a TrainState: params by spec, optimizer state re-derived so
-    Adam moments inherit the param shardings, scalars/buffers replicated."""
+    """TP-shard a TrainState: params by spec, optimizer state VALUES preserved
+    (Adam mu/nu, bias-correction count, injected LR) and re-placed onto the
+    shardings a fresh ``optimizer.init`` would produce — so a restored
+    checkpoint keeps its optimizer state when training resumes under TP.
+
+    ``optimizer.init(params)`` is jitted over the already-sharded params only
+    to *derive* the target sharding for every opt-state leaf (moment tensors
+    mirror the param PartitionSpecs, scalars replicate); the template's values
+    are discarded and the existing leaves are device_put onto its shardings.
+    """
     params = shard_params(mesh, tstate.params)
-    opt_state = jax.jit(optimizer.init)(params)  # mu/nu follow param sharding
+    template = jax.jit(optimizer.init)(params)
     repl = NamedSharding(mesh, P())
+
+    def _place(old, tmpl):
+        # moment tensors derive from the sharded params, so jit propagated
+        # their NamedShardings; leaves with no input dependence (Adam count,
+        # injected hyperparams) land on the default device — replicate those
+        sh = tmpl.sharding if isinstance(tmpl.sharding, NamedSharding) \
+            else repl
+        return jax.device_put(jnp.asarray(old), sh)
+
+    opt_state = jax.tree_util.tree_map(_place, tstate.opt_state, template)
     return tstate.replace(
         params=params,
         opt_state=opt_state,

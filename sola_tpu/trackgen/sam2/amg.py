@@ -74,7 +74,13 @@ class SAM2AutomaticMaskGenerator:
                  stability_score_thresh: float = 0.95,
                  stability_score_offset: float = 1.0,
                  box_nms_thresh: float = 0.7,
-                 min_mask_region_area: int = 0):
+                 min_mask_region_area: int = 0,
+                 # survivor-buffer cap of the single-dispatch path; at
+                 # reference thresholds (0.8/0.95) a frame yields O(100)
+                 # survivors, so 1024 (1/3 of the 32x32 grid's absolute max)
+                 # never overflows in practice — overflow falls back to the
+                 # multi-dispatch path below
+                 max_survivors: int = 1024):
         self.predictor = predictor
         self.points_per_side = points_per_side
         self.points_per_batch = points_per_batch
@@ -83,15 +89,48 @@ class SAM2AutomaticMaskGenerator:
         self.stability_score_offset = stability_score_offset
         self.box_nms_thresh = box_nms_thresh
         self.min_mask_region_area = min_mask_region_area
+        self.max_survivors = max_survivors
 
     def generate(self, image: np.ndarray) -> list[dict]:
         """(H, W, 3) uint8 -> list of mask records sorted by area desc, with
         the fields the grid-prompt CLI consumes (segmentation,
-        stability_score, area; generate_prompts_grid.py:119-128)."""
+        stability_score, area; generate_prompts_grid.py:119-128).
+
+        Single-dispatch path: encode (1 program) + whole-grid
+        propose/filter/finalize (1 program, ``propose_filter_finalize``) +
+        one bucket-padded gather for the post-NMS mask fetch. Falls back to
+        the per-batch multi-dispatch path only if the threshold survivors
+        overflow ``max_survivors`` (near-zero thresholds)."""
         h, w = image.shape[:2]
         self.predictor.set_image(image)
         grid = build_point_grid(self.points_per_side)
         coords = grid * np.asarray([w, h], np.float32)
+
+        out = self.predictor.propose_filter_finalize(
+            coords[:, None, :], self.stability_score_offset,
+            self.pred_iou_thresh, self.stability_score_thresh,
+            chunk=self.points_per_batch, k_max=self.max_survivors)
+        (packed_dev, boxes_all, areas_all, _scores, flat_all, iou_all,
+         stab_all, n_valid_dev) = out
+        k = int(n_valid_dev)
+        if k > self.max_survivors:
+            return self._generate_multi_dispatch(image, coords, grid, h, w)
+        if k == 0:
+            return []
+        boxes = np.asarray(boxes_all)[:k]
+        areas = np.asarray(areas_all)[:k]
+        kept_iou = [float(x) for x in np.asarray(iou_all)[:k]]
+        kept_stab = [float(x) for x in np.asarray(stab_all)[:k]]
+        flat = np.asarray(flat_all)[:k]
+        kept_pts = [coords[i] for i in flat // 3]
+        return self._select_and_emit(packed_dev, boxes, areas, kept_iou,
+                                     kept_stab, kept_pts, h, w)
+
+    def _generate_multi_dispatch(self, image, coords, grid, h, w):
+        """Per-point-batch dispatch path (round-2 design): only used when
+        survivors overflow the single-dispatch buffer — i.e. near-zero
+        thresholds where nearly all (points x 3) proposals survive and a
+        bounded buffer cannot hold them."""
         bsz = self.points_per_batch
         n_pad = ((len(coords) + bsz - 1) // bsz) * bsz
         coords = np.concatenate(
@@ -145,12 +184,19 @@ class SAM2AutomaticMaskGenerator:
         # from device reductions and the bit-packed masks STAY on device —
         # NMS runs on the cheap host boxes and only the kept rows are ever
         # fetched
-        from sola_tpu.trackgen.sam2.image import unpack_masks
-
         packed_dev, boxes, areas = self.predictor.finalize_masks_device(
             low_all, h, w)
         boxes, areas = boxes[:k], areas[:k]
+        return self._select_and_emit(packed_dev, boxes, areas, kept_iou,
+                                     kept_stab, kept_pts, h, w)
 
+    def _select_and_emit(self, packed_dev, boxes, areas, kept_iou,
+                         kept_stab, kept_pts, h, w) -> list[dict]:
+        """Shared AMG tail: small-region postprocess, host NMS over device
+        boxes, bucket-padded fetch of only the kept bit-packed masks."""
+        from sola_tpu.trackgen.sam2.image import unpack_masks
+
+        k = len(kept_iou)
         if self.min_mask_region_area > 0:
             # CCL edits need every mask on host and change geometry
             masks = unpack_masks(np.asarray(packed_dev), h, w)[:k]

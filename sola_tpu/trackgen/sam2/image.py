@@ -140,6 +140,80 @@ class SAM2ImagePredictor:
         self._finalize_packed = jax.jit(_finalize_packed,
                                         static_argnums=(1, 2))
 
+        def _propose_filter_finalize(v, pix, s0, s1, coords, valid,
+                                     stability_offset, iou_thresh,
+                                     stab_thresh, h, w, k_max):
+            """Whole-grid AMG in ONE program: scan point chunks through the
+            decoder, keep a bounded top-k_max survivor buffer (score =
+            predicted IoU where both thresholds pass, else -inf), then
+            upscale/threshold/bit-pack only the buffer.
+
+            Replaces the per-point-batch dispatch chain (8 round trips
+            through the host relay per frame) with a single dispatch, and
+            bounds HBM to one chunk's logits + the survivor buffer instead
+            of every batch's full (bsz, 3, lh, lw) fp32 logits
+            (sam2/amg.py round-2 kept ~0.8 GB alive and doubled it at the
+            concat; quadratic in points_per_side).
+
+            coords: (n_chunks, bsz, 1, 2) pre-scaled; valid: (n_chunks, bsz)
+            bool. Returns buffers sorted by score desc; entries beyond
+            n_valid (or with score == -inf) are padding.
+            """
+            n_chunks, bsz = coords.shape[:2]
+            labels = jnp.ones((bsz, 1), jnp.int32)
+            pix_n = jnp.broadcast_to(pix, (bsz,) + pix.shape[1:])
+            s0_n = jnp.broadcast_to(s0, (bsz,) + s0.shape[1:])
+            s1_n = jnp.broadcast_to(s1, (bsz,) + s1.shape[1:])
+
+            def chunk_step(carry, inp):
+                top_scores, top_low, top_flat, top_iou, top_stab, n_kept = \
+                    carry
+                c, vmask, offset = inp
+                out = model.apply(v, pix_n, s0_n, s1_n, c, labels, None,
+                                  True, compute_high_res=False,
+                                  method=SAM2Model.sam_heads)
+                low = out["low_res_masks"]            # (bsz, 3, lh, lw)
+                lh, lw = low.shape[-2:]
+                inter = jnp.sum(low > stability_offset, axis=(-2, -1))
+                union = jnp.sum(low > -stability_offset, axis=(-2, -1))
+                stab = (jnp.where(union > 0,
+                                  inter / jnp.maximum(union, 1), 0.0)
+                        .astype(jnp.float32))
+                ious = out["ious"].astype(jnp.float32)  # (bsz, 3)
+                keep = ((ious > iou_thresh) & (stab > stab_thresh)
+                        & vmask[:, None])
+                scores = jnp.where(keep, ious, -jnp.inf).reshape(-1)
+                flat = (offset + jnp.arange(bsz, dtype=jnp.int32))[:, None] \
+                    * 3 + jnp.arange(3, dtype=jnp.int32)[None, :]
+                cat_scores = jnp.concatenate([top_scores, scores])
+                cat_low = jnp.concatenate(
+                    [top_low, low.reshape(-1, lh, lw).astype(top_low.dtype)])
+                cat_flat = jnp.concatenate([top_flat, flat.reshape(-1)])
+                cat_iou = jnp.concatenate([top_iou, ious.reshape(-1)])
+                cat_stab = jnp.concatenate(
+                    [top_stab, stab.reshape(-1).astype(top_stab.dtype)])
+                new_scores, sel = jax.lax.top_k(cat_scores, k_max)
+                n_kept = n_kept + jnp.sum(keep, dtype=jnp.int32)
+                return (new_scores, cat_low[sel], cat_flat[sel],
+                        cat_iou[sel], cat_stab[sel], n_kept), None
+
+            lh = lw = self.cfg.image_size // 4
+            init = (jnp.full((k_max,), -jnp.inf, jnp.float32),
+                    jnp.zeros((k_max, lh, lw), jnp.float32),
+                    jnp.full((k_max,), -1, jnp.int32),
+                    jnp.zeros((k_max,), jnp.float32),
+                    jnp.zeros((k_max,), jnp.float32),
+                    jnp.zeros((), jnp.int32))
+            offsets = jnp.arange(n_chunks, dtype=jnp.int32) * bsz
+            (scores, low_k, flat_k, iou_k, stab_k, n_valid), _ = \
+                jax.lax.scan(chunk_step, init, (coords, valid, offsets))
+            packed, boxes, areas = _finalize_packed(low_k, h, w)
+            return (packed, boxes, areas, scores, flat_k, iou_k, stab_k,
+                    n_valid)
+
+        self._propose_filter_finalize = jax.jit(
+            _propose_filter_finalize, static_argnums=(9, 10, 11))
+
     def set_image(self, image: np.ndarray) -> None:
         """(H, W, 3) uint8."""
         self._orig_hw = image.shape[:2]
@@ -174,6 +248,31 @@ class SAM2ImagePredictor:
         return self._propose(
             self.compute_variables, f["pix"], f["s0"], f["s1"],
             jnp.asarray(coords), jnp.asarray(labels), stability_offset)
+
+    def propose_filter_finalize(self, point_coords: np.ndarray,
+                                stability_offset: float,
+                                iou_thresh: float, stab_thresh: float,
+                                chunk: int, k_max: int):
+        """Single-dispatch AMG: (N, 1, 2) image-space points -> device
+        (packed masks, boxes, areas, scores, flat idx, ious, stabs, n_valid)
+        for the top-``k_max`` threshold survivors. ``n_valid`` (total
+        survivors) lets the caller detect k_max overflow and fall back."""
+        assert self._feats is not None, "call set_image first"
+        h, w = self._orig_hw
+        coords = self._scale_coords(np.asarray(point_coords, np.float32))
+        n = coords.shape[0]
+        n_chunks = (n + chunk - 1) // chunk
+        pad = n_chunks * chunk - n
+        coords = np.concatenate(
+            [coords, np.tile(coords[-1:], (pad, 1, 1))], axis=0)
+        valid = np.concatenate(
+            [np.ones(n, bool), np.zeros(pad, bool)])
+        f = self._feats
+        return self._propose_filter_finalize(
+            self.compute_variables, f["pix"], f["s0"], f["s1"],
+            jnp.asarray(coords.reshape(n_chunks, chunk, 1, 2)),
+            jnp.asarray(valid.reshape(n_chunks, chunk)),
+            stability_offset, iou_thresh, stab_thresh, h, w, k_max)
 
     def finalize_masks(self, low_sel, h: int, w: int) -> np.ndarray:
         """Upscale selected (K, 4h, 4w) device logits -> host (K, h, w) uint8."""

@@ -27,10 +27,13 @@ def enable(cache_dir: str | None = None) -> str:
     os.makedirs(cache_dir, exist_ok=True)
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+    min_secs = float(
+        os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"])
     try:
         import jax
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          min_secs)
     except Exception:
         pass  # pre-import call: env vars above cover it
     return cache_dir
