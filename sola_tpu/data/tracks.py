@@ -84,7 +84,12 @@ def load_track_records(track_root: str, output_dir: str, data_name: str,
     masklet_dir, token_dir = track_dirs(track_root, output_dir, data_name,
                                         data_type, video_id, expression_id)
     root_type = os.path.basename(output_dir.rstrip("/"))
-    index_path = os.path.join(masklet_dir, INDEX_NAME)
+    # the index lives in the TOKEN dir: the reference dataloader listdirs
+    # sam2_masklets/ and json-loads every entry (dataloader.py:129-137), so
+    # a sidecar there would break reference consumers of our artifacts
+    # (caught by tests/test_reference_parity.py); the token dir is only ever
+    # read by exact filename
+    index_path = os.path.join(token_dir, INDEX_NAME)
     entries = None
     if use_index and os.path.exists(index_path):
         try:
@@ -223,7 +228,9 @@ def save_track(track_root: str, output_dir: str, data_name: str,
     tmp = npy_path + f".tmp.{os.getpid()}.npy"
     np.save(tmp, np.asarray(tokens, np.float32))
     os.replace(tmp, npy_path)
-    # a new track invalidates any existing label index
-    index_path = os.path.join(masklet_dir, INDEX_NAME)
-    if os.path.exists(index_path):
-        os.remove(index_path)
+    # a new track invalidates any existing label index (both the token-dir
+    # location and the legacy masklet-dir one, which older runs wrote)
+    for index_path in (os.path.join(token_dir, INDEX_NAME),
+                       os.path.join(masklet_dir, INDEX_NAME)):
+        if os.path.exists(index_path):
+            os.remove(index_path)
