@@ -179,6 +179,10 @@ def bench_loader_train(n_videos: int = 24, n_objects: int = 4,
         cfgs["train"]["batch_size"] = batch
         cfgs["num_workers"] = 4
         loader = get_loader_dict(cfgs)["train"]
+        # production train-loop configuration: tokens live in the device
+        # cache, batches carry per-sample rows only (train/loop.py does
+        # the same when the cache is on)
+        loader.materialize_tokens = False
 
         cfg = SelectionConfig()
         model = SelectionModel(cfg)
@@ -214,7 +218,7 @@ def bench_loader_train(n_videos: int = 24, n_objects: int = 4,
                               for k2, v in b.items()
                               if hasattr(v, "dtype") and k2 != "object_tokens")
                 row_bytes = int(np.prod(
-                    raw["object_tokens"].shape[1:])) * 2  # bf16
+                    raw["object_token_rows"][0].shape)) * 2  # bf16
                 nbytes += (cache.misses - misses0) * row_bytes
                 st, metrics = step(st, b, key)
                 n += int(np.sum(np.asarray(raw["track_mask"]).any(axis=1)))
@@ -267,30 +271,74 @@ def bench_trackgen(n_frames: int, obj_batch: int = 8) -> dict:
     float(state.features["pix"].astype("float32").sum())
     t_encode = time.perf_counter() - t0
 
+    # a half-length view sharing the encoded features: the SLOPE between
+    # the full and half pass removes per-pass fixed costs (cond-frame
+    # consolidation, dispatch pipeline fill, link-phase jitter on small
+    # transfers) from the per-frame number — the quantity that scales
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+    state_half = _dc.replace(state, num_frames=n_frames // 2, prompts={},
+                             output_tokens={}, obj_ids=[], banks=None,
+                             seed_buf=None, seed_frames=None)
+
     mask = np.zeros((480, 854), np.float32)
     mask[100:220, 200:400] = 1.0
 
-    def run_pass():
-        pred.reset_state(state)
-        pred.add_new_mask(state, 0, 0, mask)
+    def run_pass(st, output_mode="masks"):
+        pred.reset_state(st)
+        pred.add_new_mask(st, 0, 0, mask)
         n = 0
-        for _ in pred.propagate_in_video(state):
+        for _ in pred.propagate_in_video(st, output_mode=output_mode):
             n += 1
-        for _ in pred.propagate_in_video(state, reverse=True):
+        for _ in pred.propagate_in_video(st, reverse=True,
+                                         output_mode=output_mode):
             n += 1
+        if output_mode == "none":
+            # nothing was fetched: force execution of the chained scans
+            float(jnp.sum(st.banks[2].astype(jnp.float32)))
         return n
 
-    run_pass()  # warmup/compile
-    best = float("inf")
-    for _ in range(2):  # best-of-2: the tunneled link's speed varies
-        t0 = time.perf_counter()
-        n = run_pass()
-        best = min(best, time.perf_counter() - t0)
-    t_prop = best
+    def paired_slope(output_mode="masks", repeats=3):
+        """Per repeat, time the full and half pass back-to-back (same link
+        phase) and difference them; min over repeats. Differencing inside
+        one repeat is what makes the slope robust to the tunneled link's
+        multi-second phase changes between repeats."""
+        best_slope, best_fixed, n_full = float("inf"), 0.0, 0
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            n_full = run_pass(state, output_mode)
+            t_full = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            n_half = run_pass(state_half, output_mode)
+            t_half = time.perf_counter() - t0
+            d = max((n_full - 1) - (n_half - 1), 1)
+            slope = (t_full - t_half) / d
+            if slope < best_slope:
+                best_slope = slope
+                best_fixed = max(t_half - slope * (n_half - 1), 0.0)
+        return best_slope, best_fixed
+
+    run_pass(state)        # warmup/compile (full)
+    run_pass(state_half)   # warmup/compile (half buckets)
+    slope, fixed = paired_slope()
+
+    # scan-only slope: the same passes with no output transfer/host work —
+    # the compute+dispatch floor; 1 - scan/full = non-compute fraction
+    run_pass(state, "none")
+    run_pass(state_half, "none")
+    slope_scan, _ = paired_slope("none")
+    slope_scan = min(slope_scan, slope)  # the floor cannot exceed the total
+
     out = {
         "sam2_encode_fps": round(n_frames / t_encode, 2),
-        "sam2_propagation_fps": round(n / t_prop, 2),
-        "sam2_propagation_object_fps": round(n * obj_batch / t_prop, 2),
+        "sam2_propagation_fps": round(1.0 / slope, 2),
+        "sam2_propagation_object_fps": round(obj_batch / slope, 2),
+        "sam2_propagation_fixed_s_per_pass": round(fixed, 3),
+        "sam2_propagation_scan_only_fps": round(1.0 / max(slope_scan, 1e-9),
+                                                2),
+        "sam2_propagation_noncompute_frac": round(
+            max(0.0, 1.0 - slope_scan / max(slope, 1e-9)), 3),
         "sam2_obj_batch": obj_batch,
         "sam2_frames": n_frames,
     }
@@ -312,6 +360,63 @@ def bench_trackgen(n_frames: int, obj_batch: int = 8) -> dict:
     except Exception as e:
         out["amg_error"] = f"{type(e).__name__}: {e}"
     return out
+
+
+def bench_gdino(n_images: int = 3) -> dict:
+    """GroundingDINO prompt stage (prompt_generator.py:132-140 hot path):
+    steady-state seconds per image at the full SwinT/6+6/900-query model on
+    the 800/1333 canvas (random weights; compute shape == production).
+
+    Baseline: upstream GroundingDINO-SwinT inference is commonly reported at
+    ~8-12 images/s on an A100 (~0.1 s/image); the prompt stage runs once per
+    (video, expression) so it is latency- not throughput-critical.
+    """
+    from sola_tpu.trackgen.gdino.convert import build_gdino_from_checkpoint
+    from sola_tpu.trackgen.gdino.model import GroundingModel
+
+    model, variables, _ = build_gdino_from_checkpoint(None)
+    gm = GroundingModel(model, variables)
+    rng = np.random.default_rng(0)
+    imgs = [rng.integers(0, 255, (480, 854, 3), dtype=np.uint8)
+            for _ in range(n_images)]
+    gm.get_boxes(imgs[0], "a red object in the scene.")  # compile
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for img in imgs:
+            gm.get_boxes(img, "a red object in the scene.")
+        best = min(best, (time.perf_counter() - t0) / n_images)
+    return {"gdino_s_per_image": round(best, 3),
+            "gdino_vs_a100_0p1s": round(0.1 / best, 2)}
+
+
+def bench_roberta(n_batches: int = 4, batch: int = 8) -> dict:
+    """Full-size RoBERTa-large text encode (train.py:80-91 / evaluator.py:
+    84-95): ms per expression through the 24-layer/1024-d Flax encoder at
+    random weights (the zero-egress stand-in for the real checkpoint; same
+    compute shape). The production loop caches embeddings per expression
+    (models/text.py CachingTextEncoder), so this cost is paid once per
+    expression per run — the reference re-pays it every batch every epoch.
+    """
+    import jax
+
+    from sola_tpu.models.text import RobertaConfig, TextEncoder
+
+    enc = TextEncoder.random_init(RobertaConfig.large())
+    texts = [f"the {w} object moving across the frame number {i}"
+             for i, w in enumerate(["red", "blue", "small", "large",
+                                    "fast", "slow", "left", "right"])]
+    h, _, _ = enc.encode_batch(texts[:batch])  # compile
+    jax.block_until_ready(h)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(n_batches):
+            h, _, p = enc.encode_batch(texts[:batch])
+        float(np.asarray(p).sum())  # value fetch closes the timing window
+        best = min(best, (time.perf_counter() - t0) / (n_batches * batch))
+    return {"roberta_ms_per_expression": round(best * 1000, 2),
+            "roberta_config": "large-24L-1024d"}
 
 
 class _SectionTimeout(Exception):
@@ -341,7 +446,9 @@ def main() -> None:
     errors: dict = {}
     for name, fn, budget in [("selection", bench_selection, 1200),
                              ("train", bench_train_step, 1200),
-                             ("loader", bench_loader_train, 1500)]:
+                             ("loader", bench_loader_train, 1500),
+                             ("roberta", bench_roberta, 900),
+                             ("gdino", bench_gdino, 1500)]:
         try:
             metrics.update(_with_timeout(fn, budget))
         except Exception as e:  # report partial results, never crash

@@ -59,15 +59,44 @@ class AlignDataset:
         self.samples = meta_lib.build_samples(self.meta, self.data_name)
         self._video_id: Optional[str] = None
         self._gt_cache: dict = {}
+        # host sample LRU: samples are immutable on disk, and the reference
+        # re-reads every token .npy each epoch (dataloader.py:162 — the
+        # train-input hot loop). Steady-state epochs here serve from RAM.
+        # Bytes-bounded; 0 disables.
+        from collections import OrderedDict
+        self._sample_cache: "OrderedDict[int, dict]" = OrderedDict()
+        self._sample_cache_bytes = 0
+        self.sample_cache_max_bytes = int(
+            configs.get("host_cache_bytes", 4 << 30))
+        import threading
+        self._cache_lock = threading.Lock()  # get_sample runs on a pool
 
     def __len__(self) -> int:
         return len(self.samples)
 
     def get_sample(self, idx: int) -> dict:
+        with self._cache_lock:
+            cached = self._sample_cache.get(idx)
+            if cached is not None:
+                self._sample_cache.move_to_end(idx)
+                return cached
         sample = self.samples[idx]
         out = tracks_lib.load_sample_tracks(
             sample, self.track_root, self.sam2_output_dirs, self.data_name,
             self.data_type)
+        nbytes = out["object_tokens"].nbytes if (
+            out["object_tokens"] is not None) else 0
+        if self.sample_cache_max_bytes > 0:
+            with self._cache_lock:
+                self._sample_cache[idx] = out
+                self._sample_cache_bytes += nbytes
+                while (self._sample_cache_bytes
+                       > self.sample_cache_max_bytes
+                       and len(self._sample_cache) > 1):
+                    _, old = self._sample_cache.popitem(last=False)
+                    if old["object_tokens"] is not None:
+                        self._sample_cache_bytes -= \
+                            old["object_tokens"].nbytes
         if sample.has_gt:
             allowed = {
                 ("mevis", "train"), ("mevis", "valid_u"),
@@ -192,36 +221,55 @@ class AlignDataset:
 def pad_and_collate(samples: list[dict],
                     track_buckets: Sequence[int] = DEFAULT_TRACK_BUCKETS,
                     frame_buckets: Sequence[int] = DEFAULT_FRAME_BUCKETS,
-                    object_token_dim: int = 256) -> dict:
+                    object_token_dim: int = 256,
+                    materialize_tokens: bool = True,
+                    row_cache: Optional[dict] = None) -> dict:
     """Collate ragged samples into one padded batch with masks.
 
     All samples in the batch share the padded (n_max, t_max) bucket; the
     batcher groups by bucket so recompiles are bounded by
     |track_buckets| x |frame_buckets| shapes.
+
+    ``materialize_tokens=False`` skips building the stacked
+    ``object_tokens`` array and sets it to None — the batch then carries
+    ``object_token_rows`` (per-sample padded arrays) only. With the
+    device-resident token cache (data/device_cache.py) the rows are never
+    touched on a cache hit, so steady-state batches cost zero token-bytes
+    of host copying. ``row_cache`` (keyed by (video, expression, shape))
+    reuses padded rows across epochs.
     """
     b = len(samples)
     n_max = _round_up(max(s["object_tokens"].shape[0] for s in samples),
                       track_buckets)
     t_max = _round_up(max(s["object_tokens"].shape[1] for s in samples),
                       frame_buckets)
-    object_tokens = np.zeros((b, n_max, t_max, object_token_dim), np.float32)
     track_mask = np.zeros((b, n_max), bool)
     frame_lengths = np.zeros((b,), np.int32)
     labels = {k: np.zeros((b, n_max), np.float32)
               for k in ("iou", "recall", "precision")}
     has_labels = all(s["labels"] is not None for s in samples)
+    rows: list = []
     for i, s in enumerate(samples):
         n, t, _ = s["object_tokens"].shape
         n = min(n, n_max)
         t = min(t, t_max)
-        object_tokens[i, :n, :t] = s["object_tokens"][:n, :t]
+        key = (s["video_id"], s["expression_id"], n_max, t_max)
+        row = row_cache.get(key) if row_cache is not None else None
+        if row is None:
+            row = np.zeros((n_max, t_max, object_token_dim), np.float32)
+            row[:n, :t] = s["object_tokens"][:n, :t]
+            if row_cache is not None:
+                row_cache[key] = row
+        rows.append(row)
         track_mask[i, :n] = True
         frame_lengths[i] = t
         if has_labels:
             for k in labels:
                 labels[k][i, :n] = s["labels"][k][:n]
+    object_tokens = np.stack(rows, axis=0) if materialize_tokens else None
     return {
         "object_tokens": object_tokens,
+        "object_token_rows": rows,
         "track_mask": track_mask,
         "frame_lengths": frame_lengths,
         "labels": labels if has_labels else None,
@@ -250,7 +298,8 @@ class Loader:
                  shuffle: bool = False, seed: int = 42,
                  num_workers: int = 4,
                  track_buckets: Sequence[int] = DEFAULT_TRACK_BUCKETS,
-                 frame_buckets: Sequence[int] = DEFAULT_FRAME_BUCKETS):
+                 frame_buckets: Sequence[int] = DEFAULT_FRAME_BUCKETS,
+                 materialize_tokens: bool = True):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -258,7 +307,35 @@ class Loader:
         self.num_workers = max(1, num_workers)
         self.track_buckets = track_buckets
         self.frame_buckets = frame_buckets
+        # False: batches carry per-sample padded token rows only (see
+        # pad_and_collate) — set by the train loop when the device token
+        # cache makes the stacked host array dead weight
+        self.materialize_tokens = materialize_tokens
+        self._row_cache: dict = {}
+        self._row_cache_bytes = 0
+        self.row_cache_max_bytes = int(
+            getattr(dataset, "sample_cache_max_bytes", 4 << 30))
         self._epoch = 0
+
+    def _collate(self, bucket: list[dict]) -> dict:
+        use_cache = self.row_cache_max_bytes > 0
+        n_before = len(self._row_cache)
+        out = pad_and_collate(bucket, self.track_buckets,
+                              self.frame_buckets,
+                              materialize_tokens=self.materialize_tokens,
+                              row_cache=self._row_cache
+                              if use_cache else None)
+        if use_cache and len(self._row_cache) > n_before:
+            row_bytes = out["object_token_rows"][0].nbytes
+            self._row_cache_bytes += (
+                len(self._row_cache) - n_before) * row_bytes
+            if self._row_cache_bytes > self.row_cache_max_bytes:
+                # simple full reset on overflow: rows re-pad lazily and
+                # correctness is unaffected (bound >> working set in the
+                # common case; a dataset larger than the bound cycles)
+                self._row_cache = {}
+                self._row_cache_bytes = 0
+        return out
 
     def __len__(self) -> int:
         return (len(self.dataset) + self.batch_size - 1) // self.batch_size
@@ -291,13 +368,11 @@ class Loader:
                 bucket = pending.setdefault((n, t), [])
                 bucket.append(sample)
                 if len(bucket) >= self.batch_size:
-                    yield pad_and_collate(bucket, self.track_buckets,
-                                          self.frame_buckets)
+                    yield self._collate(bucket)
                     pending[(n, t)] = []
             for bucket in pending.values():
                 if bucket:
-                    yield pad_and_collate(bucket, self.track_buckets,
-                                          self.frame_buckets)
+                    yield self._collate(bucket)
 
 
 def get_loader_dict(configs: dict, only_eval: bool = False,

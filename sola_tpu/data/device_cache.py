@@ -50,16 +50,23 @@ class DeviceTokenCache:
                 expression_id if self.per_expression else None, shape)
 
     def _rows(self, raw: dict) -> list:
-        tokens = raw["object_tokens"]  # (B, n, t, d) padded numpy
+        # per-sample padded host rows; with Loader(materialize_tokens=False)
+        # these are cache-hit-free references — a hit batch touches zero
+        # token bytes on the host
+        host_rows = raw.get("object_token_rows")
+        if host_rows is None:
+            tokens = raw["object_tokens"]  # (B, n, t, d) padded numpy
+            host_rows = [tokens[i] for i in range(tokens.shape[0])]
         rows = []
         for i, (vid, eid) in enumerate(zip(raw["video_id"],
                                            raw["expression_id"])):
-            key = self._key(vid, eid, tokens.shape[1:])
+            shape = tuple(host_rows[i].shape)
+            key = self._key(vid, eid, shape)
             row = self._store.get(key)
             if row is None:
                 self.misses += 1
-                row = jax.device_put(jnp.asarray(tokens[i], self.dtype))
-                nbytes = int(np.prod(tokens.shape[1:])) * row.dtype.itemsize
+                row = jax.device_put(jnp.asarray(host_rows[i], self.dtype))
+                nbytes = int(np.prod(shape)) * row.dtype.itemsize
                 self._store[key] = row
                 self._bytes += nbytes
                 # rows holds a live reference, so eviction here can never

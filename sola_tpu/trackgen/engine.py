@@ -144,18 +144,32 @@ def generate_tracks(
         for p in batch:
             out_frame_idx, _, out_logits = predictor.add_new_mask(
                 state, int(frame_idx), p.prompt_id, p.segmentation)
-        for out_frame_idx, obj_ids, out_logits in \
-                predictor.propagate_in_video(state):
-            arr = np.asarray(out_logits)
+        # binary-mask output mode when the predictor supports it (the real
+        # SAM2 video predictor): skips per-frame dense float logits that
+        # this loop would immediately re-threshold; logits mode otherwise
+        # (test/oracle predictors)
+        import inspect
+        masks_mode = "output_mode" in inspect.signature(
+            predictor.propagate_in_video).parameters
+
+        def _passes():
+            if masks_mode:
+                for fidx, _, m in predictor.propagate_in_video(
+                        state, output_mode="masks"):
+                    yield fidx, m
+                for fidx, _, m in predictor.propagate_in_video(
+                        state, reverse=True, output_mode="masks"):
+                    yield fidx, m
+            else:
+                for rev in (False, True):
+                    for fidx, _, logits in predictor.propagate_in_video(
+                            state, reverse=rev):
+                        yield fidx, (np.asarray(logits)[:, 0]
+                                     > 0.0).astype(np.uint8)
+
+        for out_frame_idx, masks in _passes():
             for i, p in enumerate(batch):
-                masklets[p.prompt_id][out_frame_idx] = (
-                    arr[i, 0] > 0.0).astype(np.uint8)
-        for out_frame_idx, obj_ids, out_logits in \
-                predictor.propagate_in_video(state, reverse=True):
-            arr = np.asarray(out_logits)
-            for i, p in enumerate(batch):
-                masklets[p.prompt_id][out_frame_idx] = (
-                    arr[i, 0] > 0.0).astype(np.uint8)
+                masklets[p.prompt_id][out_frame_idx] = masks[i]
 
         tokens_by_frame = predictor.get_output_tokens(state)
         assert len(tokens_by_frame) == n_frames, (

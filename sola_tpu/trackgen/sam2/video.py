@@ -354,10 +354,24 @@ class SAM2VideoPredictor:
 
     def propagate_in_video(self, state: InferenceState,
                            reverse: bool = False,
-                           start_frame_idx: Optional[int] = None
+                           start_frame_idx: Optional[int] = None,
+                           output_mode: str = "logits"
                            ) -> Iterator[tuple]:
-        """Yields (frame_idx, obj_ids, logits (n_obj, 1, H, W)) for every
-        frame of the pass (conditioning frame included, like upstream)."""
+        """Yields (frame_idx, obj_ids, outputs) for every frame of the pass
+        (conditioning frame included, like upstream).
+
+        ``output_mode``:
+          * "logits" — outputs are (n_obj, 1, H, W) float32 +-10 logits,
+            upstream's contract (consumers binarize at 0,
+            generate_tokens_grid.py:215-222);
+          * "masks" — outputs are (n_obj, H, W) uint8 binary masks. Skips
+            reconstructing dense float logits on the host (~4 bytes/pixel
+            of pure allocation per frame that every in-repo consumer
+            immediately re-thresholds away) — the production trackgen path.
+          * "none" — outputs are None and nothing is fetched to host
+            (``output_tokens`` not populated): runs the scan compute only,
+            for benchmarking the compute/transfer split.
+        """
         cfg = self.cfg
         if not state.prompts:
             return
@@ -377,9 +391,13 @@ class SAM2VideoPredictor:
         # the prompt-based output for cond frames)
         prompt_logits = jnp.asarray(
             self._prompt_masks(state, cond_idx)) * 20.0 - 10.0
-        yield (cond_idx, list(state.obj_ids),
-               np.asarray(_resize_logits(prompt_logits[:n_obj],
-                                         state.orig_hw))[:, None])
+        cond_out = np.asarray(_resize_logits(prompt_logits[:n_obj],
+                                             state.orig_hw))
+        if output_mode == "masks":
+            yield (cond_idx, list(state.obj_ids),
+                   (cond_out > 0.0).astype(np.uint8))
+        else:
+            yield (cond_idx, list(state.obj_ids), cond_out[:, None])
         if len(frame_idxs) == 0:
             return
 
@@ -435,25 +453,39 @@ class SAM2VideoPredictor:
                            state.num_frames]
             state.seed_frames = np.asarray(seed_frames, np.int32)
 
-        # fetch + resize outputs in chunks, yield per frame
+        # two-phase output fetch: enqueue EVERY chunk's resize+pack program
+        # before fetching any result — the device pipelines resize of chunk
+        # k+1 behind the host transfer of chunk k instead of a synchronous
+        # round trip per chunk (round-2 VERDICT: the per-16-frame
+        # `np.asarray` fetch serialized device compute with the host link)
         oh, ow = state.orig_hw
+        if output_mode == "none":
+            for j in range(n_valid):
+                yield (int(frame_idxs[j]), list(state.obj_ids), None)
+            return
         chunk = 16
-        for cstart in range(0, n_valid, chunk):
-            cend = min(cstart + chunk, n_valid)
-            lo = low_res[cstart:cend, :n_obj]
-            packed = np.asarray(self._resize_batch_packed(lo, oh, ow))
+        bounds = [(s, min(s + chunk, n_valid))
+                  for s in range(0, n_valid, chunk)]
+        packed_chunks = [self._resize_batch_packed(
+            low_res[s:e, :n_obj], oh, ow) for s, e in bounds]
+        toks_np = np.asarray(obj_ptrs[:n_valid])  # one small fetch per pass
+        for (cstart, cend), packed_dev in zip(bounds, packed_chunks):
+            packed = np.asarray(packed_dev)
             bsz, nob = packed.shape[:2]
             hi_np = np.unpackbits(
                 packed.reshape(bsz * nob, -1), axis=1).reshape(
                     bsz, nob, oh, -1)[..., :ow]
-            toks = np.asarray(obj_ptrs[cstart:cend])
             for j in range(cend - cstart):
                 fidx = int(frame_idxs[cstart + j])
-                state.output_tokens[fidx] = toks[j]
-                # consumers binarize at 0 (generate_tokens_grid.py:215-222);
-                # reconstruct +-10 logits from the device-thresholded masks
-                logits = hi_np[j].astype(np.float32) * 20.0 - 10.0
-                yield (fidx, list(state.obj_ids), logits[:, None])
+                state.output_tokens[fidx] = toks_np[cstart + j]
+                if output_mode == "masks":
+                    yield (fidx, list(state.obj_ids), hi_np[j])
+                else:
+                    # consumers binarize at 0 (generate_tokens_grid.py:
+                    # 215-222); reconstruct +-10 logits from the
+                    # device-thresholded masks
+                    logits = hi_np[j].astype(np.float32) * 20.0 - 10.0
+                    yield (fidx, list(state.obj_ids), logits[:, None])
 
     def get_output_tokens(self, state: InferenceState) -> dict:
         """frame_idx -> (n_obj, d) obj_ptr array (host)."""

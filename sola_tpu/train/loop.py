@@ -197,8 +197,12 @@ def prepare_batch(batch: dict, text_encoder, train_cfg: Optional[dict] = None,
         # array for data-axis sharding
         object_tokens = (token_cache.batch_tokens(batch) if not token_rows
                          else token_cache.batch_token_rows(batch))
-    else:
+    elif batch.get("object_tokens") is not None:
         object_tokens = jnp.asarray(batch["object_tokens"], tok_dtype)
+    else:  # Loader(materialize_tokens=False) without a device cache
+        object_tokens = jnp.stack(
+            [jnp.asarray(r, tok_dtype)
+             for r in batch["object_token_rows"]], axis=0)
     out = {
         "object_tokens": object_tokens,
         "track_mask": jnp.asarray(batch["track_mask"]),
@@ -272,6 +276,13 @@ def train(configs: dict, max_steps_per_epoch: Optional[int] = None,
             configs["dataset"].get("train"),
             dtype=jnp.bfloat16 if train_cfg.get("bf16_token_transfer")
             else jnp.float32)
+        if mesh_ctx is None:
+            # with tokens device-cached, the stacked host array per batch
+            # is dead weight — batches carry per-sample padded rows only
+            # (mesh mode needs the stacked array for batch-dim padding)
+            for split in ("train", "valid"):
+                if split in loader_dict:
+                    loader_dict[split].materialize_tokens = False
 
     for epoch in range(start_epoch, int(train_cfg["n_epochs"])):
         t0 = time.time()
