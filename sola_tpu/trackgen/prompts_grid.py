@@ -51,11 +51,17 @@ def generate_video_prompts(amg, frames: list, frame_names: list,
         eff_bin = max(len(frames) // 2, 1)
     sel = list(range(0, len(frames), eff_bin))
 
+    # pipelined AMG when available: frame k+1 encodes on device while the
+    # host post-processes frame k (sam2/amg.py generate_many)
+    if hasattr(amg, "generate_many"):
+        infos_iter = amg.generate_many(frames[fi] for fi in sel)
+    else:
+        infos_iter = (amg.generate(frames[fi]) for fi in sel)
+
     prompt_masks = []
-    for bin_idx, fi in enumerate(sel):
+    for fi, infos in zip(sel, infos_iter):
         frame = frames[fi]
         frame_area = frame.shape[0] * frame.shape[1]
-        infos = amg.generate(frame)
         if not infos:
             continue
         infos = sorted(infos, key=lambda x: x["area"], reverse=True)

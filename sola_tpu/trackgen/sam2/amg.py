@@ -10,6 +10,8 @@ conversion stay on host (tiny work).
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -101,19 +103,47 @@ class SAM2AutomaticMaskGenerator:
         one bucket-padded gather for the post-NMS mask fetch. Falls back to
         the per-batch multi-dispatch path only if the threshold survivors
         overflow ``max_survivors`` (near-zero thresholds)."""
+        return self._harvest(self._enqueue(image))
+
+    def generate_many(self, images) -> Iterator[list[dict]]:
+        """Pipelined AMG over a frame sequence: frame k+1's encode +
+        propose programs are enqueued before frame k's results are fetched,
+        so the device computes the next frame while the host runs NMS and
+        pulls survivors for the current one (the per-frame hot loop of
+        generate_prompts_grid.py:96-100)."""
+        prev = None
+        for image in images:
+            cur = self._enqueue(image)
+            if prev is not None:
+                yield self._harvest(prev)
+            prev = cur
+        if prev is not None:
+            yield self._harvest(prev)
+
+    def _enqueue(self, image: np.ndarray):
+        """Device phase: encode + whole-grid propose/filter/finalize.
+        Returns a pending record; nothing is fetched to host."""
         h, w = image.shape[:2]
         self.predictor.set_image(image)
         grid = build_point_grid(self.points_per_side)
         coords = grid * np.asarray([w, h], np.float32)
-
         out = self.predictor.propose_filter_finalize(
             coords[:, None, :], self.stability_score_offset,
             self.pred_iou_thresh, self.stability_score_thresh,
             chunk=self.points_per_batch, k_max=self.max_survivors)
+        return (image, coords, grid, h, w, out)
+
+    def _harvest(self, pending) -> list[dict]:
+        """Host phase: fetch the survivor scalars, NMS, emit records."""
+        image, coords, grid, h, w, out = pending
         (packed_dev, boxes_all, areas_all, _scores, flat_all, iou_all,
          stab_all, n_valid_dev) = out
         k = int(n_valid_dev)
         if k > self.max_survivors:
+            # rare overflow (near-zero thresholds): re-encode this image —
+            # the predictor's cached features may already be a later
+            # frame's in the pipelined path
+            self.predictor.set_image(image)
             return self._generate_multi_dispatch(image, coords, grid, h, w)
         if k == 0:
             return []

@@ -32,13 +32,15 @@ from sola_tpu.train import state as state_lib
 from sola_tpu.train.schedule import ReduceLROnPlateau
 
 
-def make_train_step(model: SelectionModel, optimizer, train_cfg: dict):
-    """Returns jitted train_step(state, batch, rng) -> (state, metrics)."""
+def _make_train_step_body(model: SelectionModel, optimizer,
+                          train_cfg: dict):
+    """Un-jitted single optimizer step: (state, batch, rng) ->
+    (state, metrics). Jitted directly by ``make_train_step``; scanned K
+    times per dispatch by ``make_train_multi_step``."""
     positive_weight = float(train_cfg["positive_weight"])
     alignment_weight = float(train_cfg["alignment_weight"])
     temperature = float(train_cfg["temperature"])
 
-    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: state_lib.TrainState, batch: dict, rng: jax.Array):
         def loss_fn(params):
             obj = batch["object_tokens"]
@@ -76,6 +78,38 @@ def make_train_step(model: SelectionModel, optimizer, train_cfg: dict):
         return new_state, metrics
 
     return train_step
+
+
+def make_train_step(model: SelectionModel, optimizer, train_cfg: dict):
+    """Returns jitted train_step(state, batch, rng) -> (state, metrics)."""
+    body = _make_train_step_body(model, optimizer, train_cfg)
+    return partial(jax.jit, donate_argnums=(0,))(body)
+
+
+def make_train_multi_step(model: SelectionModel, optimizer,
+                          train_cfg: dict):
+    """K sequential optimizer steps in ONE compiled program:
+    multi_step(state, batches, rngs) -> (state, stacked metrics).
+
+    ``batches`` is a tuple of K same-shaped batch dicts; they are stacked
+    leaf-wise and scanned. Numerically identical to K separate
+    ``train_step`` dispatches (same order, same rngs) — the win is
+    dispatch amortization: through a high-latency host link (this
+    sandbox's relay: ~100 ms/dispatch) the per-step overhead divides by K;
+    on direct-attached TPU it shrinks the host gap between steps. The
+    reference dispatches per batch_size=1 sample (train.py:93-146).
+    """
+    body = _make_train_step_body(model, optimizer, train_cfg)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def multi_step(state: state_lib.TrainState, batches: tuple,
+                   rngs: jax.Array):
+        xs = jax.tree_util.tree_map(
+            lambda *leaves: jnp.stack(leaves, axis=0), *batches)
+        return jax.lax.scan(
+            lambda st, inp: body(st, inp[0], inp[1]), state, (xs, rngs))
+
+    return multi_step
 
 
 def make_eval_step(model: SelectionModel, train_cfg: dict,
@@ -261,7 +295,9 @@ def train(configs: dict, max_steps_per_epoch: Optional[int] = None,
     train_step = make_train_step(model, optimizer, train_cfg)
     eval_step = make_eval_step(model, train_cfg,
                                float(train_cfg.get("pred_threshold", 0.5)))
-    rng = jax.random.PRNGKey(42 + start_epoch)
+    # rng is re-derived per epoch below, so a run resumed from epoch N
+    # replays exactly the dropout stream the uninterrupted run would have
+    # used (tests/test_resume.py asserts bit-equal weights)
 
     mesh_ctx = make_mesh_context(train_cfg)
     if mesh_ctx is not None:
@@ -284,11 +320,44 @@ def train(configs: dict, max_steps_per_epoch: Optional[int] = None,
                 if split in loader_dict:
                     loader_dict[split].materialize_tokens = False
 
+    # K optimizer steps per dispatch: amortizes per-dispatch host latency
+    # (make_train_multi_step); 1 = classic one-dispatch-per-step. Same
+    # numbers either way — batches flush in arrival order with their rngs.
+    k_steps = int(train_cfg.get("steps_per_dispatch", 1))
+    multi_step = (make_train_multi_step(model, optimizer, train_cfg)
+                  if k_steps > 1 and mesh_ctx is None else None)
+
+    def _shape_key(batch):
+        leaves, treedef = jax.tree_util.tree_flatten(batch)
+        return (treedef, tuple(getattr(x, "shape", None) for x in leaves))
+
     for epoch in range(start_epoch, int(train_cfg["n_epochs"])):
         t0 = time.time()
+        rng = jax.random.PRNGKey(42 + epoch)
         # keep per-step metrics as device arrays; fetching only at epoch end
         # lets dispatch run ahead of the host (no per-step sync)
         train_losses = {"total": [], "bce": [], "alignment": []}
+        pending: list = []
+        pending_rngs: list = []
+        pending_key = None
+
+        def flush():
+            nonlocal tstate, pending, pending_rngs, pending_key
+            if not pending:
+                return
+            if multi_step is not None and len(pending) == k_steps:
+                tstate, metrics = multi_step(
+                    tstate, tuple(pending), jnp.stack(pending_rngs))
+                for i in range(k_steps):
+                    for k in train_losses:
+                        train_losses[k].append(metrics[k][i])
+            else:  # remainder (or k_steps == 1): per-step dispatches
+                for b, r in zip(pending, pending_rngs):
+                    tstate, metrics = train_step(tstate, b, r)
+                    for k in train_losses:
+                        train_losses[k].append(metrics[k])
+            pending, pending_rngs, pending_key = [], [], None
+
         from tqdm import tqdm
         n_epochs = int(train_cfg["n_epochs"])
         with tqdm(loader_dict["train"],
@@ -305,9 +374,20 @@ def train(configs: dict, max_steps_per_epoch: Optional[int] = None,
                                       token_rows=mesh_ctx is None)
                 if mesh_ctx is not None:
                     batch = mesh_ctx.place_batch(batch)
-                tstate, metrics = train_step(tstate, batch, step_rng)
-                for k in train_losses:
-                    train_losses[k].append(metrics[k])
+                if multi_step is None:
+                    tstate, metrics = train_step(tstate, batch, step_rng)
+                    for k in train_losses:
+                        train_losses[k].append(metrics[k])
+                    continue
+                key = _shape_key(batch)
+                if pending and key != pending_key:
+                    flush()  # bucket changed: run what we have
+                pending.append(batch)
+                pending_rngs.append(step_rng)
+                pending_key = key
+                if len(pending) >= k_steps:
+                    flush()
+        flush()
         train_losses = {k: [float(x) for x in v]
                         for k, v in train_losses.items()}
 

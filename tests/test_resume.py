@@ -31,6 +31,34 @@ def make_configs(root, n_epochs):
     }
 
 
+def test_resume_equivalence(tmp_path):
+    """Interrupted+resumed training is BIT-EQUAL to uninterrupted training:
+    the checkpoint restores params + optimizer moments + schedule, the
+    shuffle is epoch-seeded, and the dropout rng re-derives per epoch —
+    so epochs [2..4) replay identically (VERDICT round-2 item 7)."""
+    import jax
+
+    from sola_tpu.train.loop import train
+    text = HashTextEncoder(hidden_size=64, vocab_size=128)
+
+    cfg_a = make_configs(tmp_path / "a", n_epochs=4)
+    cfg_a["model"]["dropout_p"] = 0.2  # dropout on: rng replay matters
+    straight = train(cfg_a, text_encoder=text, log_fn=lambda *a: None)
+
+    cfg_b = make_configs(tmp_path / "b", n_epochs=2)
+    cfg_b["model"]["dropout_p"] = 0.2
+    train(cfg_b, text_encoder=text, log_fn=lambda *a: None)
+    cfg_b["train"]["n_epochs"] = 4
+    resumed = train(cfg_b, text_encoder=text, log_fn=lambda *a: None,
+                    resume=True)
+
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a, np.float64)
+                                  - np.asarray(b, np.float64)).max()),
+        jax.device_get(straight.params), jax.device_get(resumed.params))
+    assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
+
+
 def test_resume_continues(tmp_path):
     from sola_tpu.train import state as state_lib
     from sola_tpu.train.loop import train
