@@ -149,9 +149,9 @@ def bench_train_step(batch: int = 8, n_tracks: int = 64, n_frames: int = 64,
             round((n_steps * batch) / best, 2)}
 
 
-def bench_loader_train(n_videos: int = 24, n_objects: int = 4,
+def bench_loader_train(n_videos: int = 48, n_objects: int = 4,
                        n_distractors: int = 36, n_frames: int = 64,
-                       batch: int = 32, steps_per_dispatch: int = 3,
+                       batch: int = 32, steps_per_dispatch: int = 6,
                        epochs: int = 2) -> dict:
     # batch 32 x 3 steps/dispatch: with tokens device-cached and batches
     # carried as rows, per-DISPATCH relay latency (~100 ms through this

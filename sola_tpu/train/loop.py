@@ -32,6 +32,14 @@ from sola_tpu.train import state as state_lib
 from sola_tpu.train.schedule import ReduceLROnPlateau
 
 
+def _stack_if_rows(x):
+    """Per-sample device-row tuples (token/lang caches) stack INSIDE the
+    compiled program — no extra dispatch, no host copy."""
+    if isinstance(x, (tuple, list)):
+        return jnp.stack(x, axis=0)
+    return x
+
+
 def _make_train_step_body(model: SelectionModel, optimizer,
                           train_cfg: dict):
     """Un-jitted single optimizer step: (state, batch, rng) ->
@@ -43,15 +51,13 @@ def _make_train_step_body(model: SelectionModel, optimizer,
 
     def train_step(state: state_lib.TrainState, batch: dict, rng: jax.Array):
         def loss_fn(params):
-            obj = batch["object_tokens"]
-            if isinstance(obj, (tuple, list)):  # device-cached rows
-                obj = jnp.stack(obj, axis=0)
+            obj = _stack_if_rows(batch["object_tokens"])
             score_logits, score_tokens = model.apply(
                 {"params": params, "buffers": state.buffers},
-                obj, batch["lang_tokens"],
+                obj, _stack_if_rows(batch["lang_tokens"]),
                 track_mask=batch["track_mask"],
                 frame_lengths=batch["frame_lengths"],
-                lang_mask=batch["lang_mask"],
+                lang_mask=_stack_if_rows(batch["lang_mask"]),
                 deterministic=False,
                 rngs={"dropout": rng})
             neg_tokens = jnp.broadcast_to(
@@ -59,7 +65,7 @@ def _make_train_step_body(model: SelectionModel, optimizer,
                 (score_tokens.shape[0],) + params["negative_token"].shape)
             loss, parts = loss_lib.total_loss(
                 score_logits, score_tokens, batch["labels"],
-                batch["pos_tokens"], neg_tokens,
+                _stack_if_rows(batch["pos_tokens"]), neg_tokens,
                 temperature=temperature, positive_weight=positive_weight,
                 alignment_weight=alignment_weight,
                 track_mask=batch["track_mask"])
@@ -127,15 +133,13 @@ def make_eval_step(model: SelectionModel, train_cfg: dict,
 
     @jax.jit
     def eval_step(params, buffers, batch: dict):
-        obj = batch["object_tokens"]
-        if isinstance(obj, (tuple, list)):  # device-cached rows
-            obj = jnp.stack(obj, axis=0)
+        obj = _stack_if_rows(batch["object_tokens"])
         score_logits, score_tokens = model.apply(
             {"params": params, "buffers": buffers},
-            obj, batch["lang_tokens"],
+            obj, _stack_if_rows(batch["lang_tokens"]),
             track_mask=batch["track_mask"],
             frame_lengths=batch["frame_lengths"],
-            lang_mask=batch["lang_mask"])
+            lang_mask=_stack_if_rows(batch["lang_mask"]))
         neg_tokens = jnp.broadcast_to(
             params["negative_token"][None],
             (score_tokens.shape[0],) + params["negative_token"].shape)
@@ -143,7 +147,8 @@ def make_eval_step(model: SelectionModel, train_cfg: dict,
         out = {}
         if labels is not None:
             _, parts = loss_lib.total_loss(
-                score_logits, score_tokens, labels, batch["pos_tokens"],
+                score_logits, score_tokens, labels,
+                _stack_if_rows(batch["pos_tokens"]),
                 neg_tokens, temperature=temperature,
                 positive_weight=positive_weight,
                 alignment_weight=alignment_weight,
@@ -221,8 +226,14 @@ def prepare_batch(batch: dict, text_encoder, train_cfg: Optional[dict] = None,
     reuse device-resident token blocks (one upload per video, device-side
     stack per batch) instead of re-copying multi-MB arrays every step.
     """
-    lang_tokens, lang_mask, pos_tokens = text_encoder.encode_batch(
-        batch["expression"])
+    if token_rows and hasattr(text_encoder, "encode_rows"):
+        # per-sample device rows (see CachingTextEncoder.encode_rows): the
+        # steps stack them in-program; a cached batch ships zero lang bytes
+        lang_tokens, lang_mask, pos_tokens = text_encoder.encode_rows(
+            batch["expression"])
+    else:
+        lang_tokens, lang_mask, pos_tokens = text_encoder.encode_batch(
+            batch["expression"])
     tok_dtype = (jnp.bfloat16 if train_cfg
                  and train_cfg.get("bf16_token_transfer") else jnp.float32)
     if token_cache is not None:
