@@ -60,10 +60,29 @@ def replicate_tree(mesh: Mesh, tree):
     return jax.device_put(tree, replicated(mesh))
 
 
+class _PadEntry(str):
+    """Sentinel for list padding in ``pad_batch_to``: a distinct object
+    (check with ``is PAD_ENTRY``) that still behaves as an empty string so
+    text encoders and logging accept padded expression rows."""
+
+    __slots__ = ()
+
+    def __repr__(self) -> str:  # pragma: no cover - debugging aid
+        return "<PAD_ENTRY>"
+
+
+PAD_ENTRY = _PadEntry("")
+
+
 def pad_batch_to(batch: dict, target_b: int) -> dict:
     """Pad the leading axis to ``target_b`` with zeros/False so every shard is
     full; padded rows carry all-False track masks and thus contribute nothing
-    to masked losses or metrics."""
+    to masked losses or metrics.
+
+    List entries (metadata like ``(video_id, expression_id)``) are padded
+    with ``PAD_ENTRY`` — a distinct sentinel, NOT a copy of the last sample —
+    so a consumer keying a dict by entry can never silently overwrite a real
+    row with a padded one; filter with ``e is not PAD_ENTRY``."""
     import numpy as np
 
     def pad(x):
@@ -71,7 +90,7 @@ def pad_batch_to(batch: dict, target_b: int) -> dict:
             pad_width = [(0, target_b - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
             return np.pad(x, pad_width)
         if isinstance(x, list) and len(x) < target_b:
-            return x + [x[-1]] * (target_b - len(x))
+            return x + [PAD_ENTRY] * (target_b - len(x))
         return x
 
     out = {}

@@ -21,6 +21,7 @@ from sola_tpu.core import mask_ops, rle
 from sola_tpu.data import meta as meta_lib
 from sola_tpu.data import tracks as tracks_lib
 from sola_tpu.trackgen import engine, gt_utils
+from sola_tpu.trackgen.prefetch import StatePrefetcher
 from sola_tpu.trackgen.tokens_grid import DATA_DIR_DICT
 
 
@@ -105,6 +106,9 @@ def main(argv=None, predictor_factory=None) -> None:
     parser.add_argument("--pid", type=int, default=0)
     parser.add_argument("--n_pids", "--n_pid", dest="n_pids",
                         type=int, default=1)
+    parser.add_argument("--prefetch_videos", type=int, default=1,
+                        help="encode the next video while the current one "
+                             "propagates (0 to serialize)")
     parser.add_argument("--data_root", type=str, default=".")
     parser.add_argument("--output_root", type=str, default=".")
     args = parser.parse_args(argv)
@@ -139,11 +143,28 @@ def main(argv=None, predictor_factory=None) -> None:
     predictor = predictor_factory()
 
     runtime_path = os.path.join(out_dir, "runtime_info.json")
-    for video_idx, (video_id, video_meta) in enumerate(
-            meta["videos"].items()):
-        if video_idx % args.n_pids != args.pid:
-            continue
-        frames_dir = os.path.join(data_dir, "JPEGImages", video_id)
+    done_snapshot = {}
+    if os.path.exists(runtime_path):
+        with open(runtime_path) as f:
+            done_snapshot = json.load(f)
+    # resume-aware work list: videos whose expressions are ALL done are
+    # skipped up front so the lookahead never encodes a finished video
+    work = [(v, m) for i, (v, m) in enumerate(meta["videos"].items())
+            if i % args.n_pids == args.pid
+            and any(e not in done_snapshot.get(v, {})
+                    for e in m["expressions"])]
+
+    def frames_dir_of(video_id):
+        return os.path.join(data_dir, "JPEGImages", video_id)
+
+    prefetcher = StatePrefetcher(predictor,
+                                 enabled=bool(args.prefetch_videos))
+    for work_idx, (video_id, video_meta) in enumerate(work):
+        prefetcher.schedule(video_id, frames_dir_of(video_id))
+        if work_idx + 1 < len(work):
+            prefetcher.schedule(work[work_idx + 1][0],
+                                frames_dir_of(work[work_idx + 1][0]))
+        frames_dir = frames_dir_of(video_id)
         n_frames = len(os.listdir(frames_dir))
 
         runtime_info = {}
@@ -164,7 +185,7 @@ def main(argv=None, predictor_factory=None) -> None:
                     os.path.join(data_dir, "Annotations", video_id),
                     reshape=True)
 
-        state = predictor.init_state(None, video_path=frames_dir)
+        state = prefetcher.get(video_id, frames_dir)
         for expression_id in video_meta["expressions"]:
             if expression_id in runtime_info[video_id]:
                 continue  # resume: already done
@@ -183,6 +204,7 @@ def main(argv=None, predictor_factory=None) -> None:
             os.makedirs(out_dir, exist_ok=True)
             with open(runtime_path, "w") as f:
                 json.dump(runtime_info, f, indent=4)
+    prefetcher.close()
 
 
 if __name__ == "__main__":

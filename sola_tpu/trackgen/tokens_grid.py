@@ -23,6 +23,7 @@ from sola_tpu.core import mask_ops, rle
 from sola_tpu.data import meta as meta_lib
 from sola_tpu.data import tracks as tracks_lib
 from sola_tpu.trackgen import engine, gt_utils
+from sola_tpu.trackgen.prefetch import StatePrefetcher
 
 DATA_DIR_DICT = {
     "mevis": "datasets/mevis",
@@ -122,6 +123,9 @@ def main(argv=None, predictor_factory=None) -> None:
     parser.add_argument("--pid", type=int, default=0)
     parser.add_argument("--n_pids", "--n_pid", dest="n_pids",
                         type=int, default=1)
+    parser.add_argument("--prefetch_videos", type=int, default=1,
+                        help="encode the next video while the current one "
+                             "propagates (0 to serialize)")
     parser.add_argument("--data_root", type=str, default=".")
     parser.add_argument("--output_root", type=str, default=".")
     args = parser.parse_args(argv)
@@ -155,9 +159,19 @@ def main(argv=None, predictor_factory=None) -> None:
 
     runtime_info = {}
     runtime_path = os.path.join(out_dir, f"runtime_info_{args.bin_size}.json")
-    for video_idx, video_id in enumerate(meta["videos"]):
-        if video_idx % args.n_pids != args.pid:
-            continue
+    work = [v for i, v in enumerate(meta["videos"])
+            if i % args.n_pids == args.pid]
+
+    def frames_dir_of(video_id: str) -> str:
+        return os.path.join(data_dir, "JPEGImages", video_id)
+
+    prefetcher = StatePrefetcher(predictor,
+                                 enabled=bool(args.prefetch_videos))
+    for work_idx, video_id in enumerate(work):
+        prefetcher.schedule(video_id, frames_dir_of(video_id))
+        if work_idx + 1 < len(work):
+            prefetcher.schedule(work[work_idx + 1],
+                                frames_dir_of(work[work_idx + 1]))
         start = time.time()
         gt_masklets = None
         if args.save_prec_rec_iou:
@@ -171,18 +185,19 @@ def main(argv=None, predictor_factory=None) -> None:
                     os.path.join(data_dir, "Annotations", video_id),
                     reshape=True)
         census = run_video(
-            predictor, video_id,
-            os.path.join(data_dir, "JPEGImages", video_id),
+            predictor, video_id, frames_dir_of(video_id),
             os.path.join(prompt_dir, f"{video_id}.json"),
             out_dir, args.dataset, args.data_type,
             bin_size=args.bin_size, batch_size=args.batch_size,
             miou_thresh=args.miou_thresh, n_max_tracks=args.n_max_tracks,
-            gt_masklets=gt_masklets)
+            gt_masklets=gt_masklets,
+            state=prefetcher.get(video_id, frames_dir_of(video_id)))
         census["time"] = time.time() - start
         runtime_info[video_id] = census
         os.makedirs(out_dir, exist_ok=True)
         with open(runtime_path, "w") as f:
             json.dump(runtime_info, f, indent=4)
+    prefetcher.close()
 
 
 def _default_predictor_factory(ckpt_path: str, obj_batch: int = 4):

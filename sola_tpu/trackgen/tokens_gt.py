@@ -21,6 +21,7 @@ from sola_tpu.core import mask_ops, rle
 from sola_tpu.data import meta as meta_lib
 from sola_tpu.data import tracks as tracks_lib
 from sola_tpu.trackgen import gt_utils
+from sola_tpu.trackgen.prefetch import StatePrefetcher
 from sola_tpu.trackgen.tokens_grid import DATA_DIR_DICT
 
 
@@ -92,6 +93,9 @@ def main(argv=None, predictor_factory=None) -> None:
                         default="pretrained_models/sam2_hiera_large.pt")
     parser.add_argument("--save_prec_rec_iou", action="store_true")
     parser.add_argument("--pid", type=int, default=0)
+    parser.add_argument("--prefetch_videos", type=int, default=1,
+                        help="encode the next video while the current one "
+                             "propagates (0 to serialize)")
     parser.add_argument("--n_pids", "--n_pid", dest="n_pids",
                         type=int, default=1)
     parser.add_argument("--data_root", type=str, default=".")
@@ -129,12 +133,20 @@ def main(argv=None, predictor_factory=None) -> None:
         with open(runtime_path) as f:
             runtime_info = json.load(f)
 
-    for video_idx, video_id in enumerate(meta["videos"]):
-        if video_idx % args.n_pids != args.pid:
-            continue
-        if video_id in runtime_info:
-            continue  # resume
-        frames_dir = os.path.join(data_dir, "JPEGImages", video_id)
+    work = [v for i, v in enumerate(meta["videos"])
+            if i % args.n_pids == args.pid and v not in runtime_info]
+
+    def frames_dir_of(video_id):
+        return os.path.join(data_dir, "JPEGImages", video_id)
+
+    prefetcher = StatePrefetcher(predictor,
+                                 enabled=bool(args.prefetch_videos))
+    for work_idx, video_id in enumerate(work):
+        prefetcher.schedule(video_id, frames_dir_of(video_id))
+        if work_idx + 1 < len(work):
+            prefetcher.schedule(work[work_idx + 1],
+                                frames_dir_of(work[work_idx + 1]))
+        frames_dir = frames_dir_of(video_id)
         n_frames = len(os.listdir(frames_dir))
         if args.dataset == "mevis":
             gt_masklets = gt_utils.get_masklets(video_id, meta, mask_dict)
@@ -144,7 +156,7 @@ def main(argv=None, predictor_factory=None) -> None:
         gt_small = {k: np.asarray(mask_ops.reshape_masklet_auto(v))
                     for k, v in gt_masklets.items()} \
             if args.save_prec_rec_iou else None
-        state = predictor.init_state(None, video_path=frames_dir)
+        state = prefetcher.get(video_id, frames_dir)
         census = run_video(
             predictor, state, video_id, gt_masklets, n_frames, track_root,
             args.dataset, args.data_type,
@@ -153,6 +165,7 @@ def main(argv=None, predictor_factory=None) -> None:
         os.makedirs(out_dir, exist_ok=True)
         with open(runtime_path, "w") as f:
             json.dump(runtime_info, f, indent=4)
+    prefetcher.close()
 
 
 if __name__ == "__main__":
