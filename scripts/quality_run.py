@@ -58,7 +58,8 @@ def build_corpus(root: str, n_videos: int) -> dict:
     return ds
 
 
-def write_yaml(path: str, ds: dict, out_root: str, epochs: int) -> None:
+def write_yaml(path: str, ds: dict, out_root: str, epochs: int,
+               batch_size: int = 1) -> None:
     configs = {
         "exp_name": "quality_run",
         "model": {
@@ -75,7 +76,9 @@ def write_yaml(path: str, ds: dict, out_root: str, epochs: int) -> None:
             "positive_metric": "iou", "positive_threshold": 0.7,
             "positive_weight": 1.5, "bf16_token_transfer": True,
         },
-        "dataset": ds["configs"],
+        "dataset": {k: (dict(v, batch_size=batch_size)
+                        if k == "train" and isinstance(v, dict) else v)
+                    for k, v in ds["configs"].items()},
         "eval": {"pred_threshold": 0.5},
         "results": {
             "output_dir": os.path.join(out_root, "TRAIN"),
@@ -104,12 +107,13 @@ def main() -> int:
     ap.add_argument("--out", default=os.path.join(REPO, "artifacts",
                                                   "quality_run"))
     ap.add_argument("--eval_epochs", default="1,8,15")
+    ap.add_argument("--batch_size", type=int, default=1)
     args = ap.parse_args()
 
     work = tempfile.mkdtemp(prefix="quality_run_")
     ds = build_corpus(work, args.n_videos)
     yaml_path = os.path.join(work, "quality_run.yaml")
-    write_yaml(yaml_path, ds, work, args.epochs)
+    write_yaml(yaml_path, ds, work, args.epochs, args.batch_size)
     train_dir = os.path.join(work, "TRAIN", "quality_run", "mevis")
 
     # phase 1: train until the kill checkpoint exists, then SIGKILL

@@ -90,7 +90,12 @@ def pad_batch_to(batch: dict, target_b: int) -> dict:
             pad_width = [(0, target_b - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
             return np.pad(x, pad_width)
         if isinstance(x, list) and len(x) < target_b:
-            return x + [PAD_ENTRY] * (target_b - len(x))
+            # array rows (e.g. object_token_rows) pad with a zeros row of
+            # the same shape — their content is masked out downstream;
+            # metadata strings pad with the PAD_ENTRY sentinel
+            fill = (np.zeros_like(x[-1])
+                    if x and isinstance(x[-1], np.ndarray) else PAD_ENTRY)
+            return x + [fill] * (target_b - len(x))
         return x
 
     out = {}
