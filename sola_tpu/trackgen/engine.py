@@ -83,6 +83,97 @@ def _batched_dedup_ious(masklet_small: np.ndarray,
     return np.asarray(mask_iou(frames, jnp.asarray(masks_np)))[:n]
 
 
+def select_batch(prompts: Sequence[PromptMask], *, limit: int,
+                 n_tracked: int, n_max_tracks: int,
+                 scan_all_for_same_frame: bool) -> tuple:
+    """Greedy same-frame batch selection (generate_tokens_grid.py:165-186 /
+    generate_tokens_gdino.py:178-202). Marks selected prompts status=1 and
+    returns (batch, frame_idx); ([], None) when nothing is selectable."""
+    batch: list[PromptMask] = []
+    frame_idx = None
+    for p in prompts:
+        if p.status != 0:
+            continue
+        if frame_idx is None:
+            frame_idx = p.frame_idx
+        elif p.frame_idx != frame_idx:
+            if scan_all_for_same_frame:
+                continue
+            break
+        batch.append(p)
+        p.status = 1
+        if len(batch) >= limit:
+            break
+        if n_tracked + len(batch) >= n_max_tracks:
+            break
+    return batch, frame_idx
+
+
+def finalize_batch(batch: Sequence[PromptMask], masklets: dict,
+                   tokens_by_frame: dict, n_frames: int) -> list:
+    """Assemble TrackResults for a tracked batch: stacked full-res masklet,
+    canonical <=960x540 resize, per-frame token matrix."""
+    assert len(tokens_by_frame) == n_frames, (
+        f"tokens missing for frames: have {len(tokens_by_frame)} of "
+        f"{n_frames}")
+    results = []
+    for i, p in enumerate(batch):
+        frames = masklets[p.prompt_id]
+        assert all(m is not None for m in frames), \
+            f"masklet frames missing for prompt {p.prompt_id}"
+        masklet = np.stack(frames, axis=0)
+        small = np.asarray(mask_ops.reshape_masklet_auto(
+            masklet.astype(np.float32)))
+        toks = np.stack(
+            [np.asarray(tokens_by_frame[f][i])
+             for f in range(n_frames)], axis=0)
+        results.append(TrackResult(p.prompt_id, masklet, small, toks))
+    return results
+
+
+def dedup_and_emit(results: Sequence[TrackResult],
+                   prompts: Sequence[PromptMask], miou_thresh: float,
+                   on_track: Optional[Callable[[TrackResult], None]]) -> int:
+    """Filter remaining prompts against each new masklet (one device
+    program per track) and emit the track; returns newly-filtered count."""
+    n_filtered = 0
+    for result in results:
+        small_hw = result.masklet_small.shape[1:]
+        remaining = [p for p in prompts if p.status == 0]
+        if remaining:
+            ious = _batched_dedup_ious(result.masklet_small, remaining,
+                                       small_hw)
+            for p, iou in zip(remaining, ious):
+                if iou > miou_thresh:
+                    p.status = 2
+                    p.filtered_by = result.prompt_id
+                    p.filtered_iou = float(iou)
+                    n_filtered += 1
+        if on_track is not None:
+            on_track(result)
+    return n_filtered
+
+
+def census_dict(prompts: Sequence[PromptMask], *, elapsed: float,
+                n_frames: int, n_tracked: int, n_filtered: int,
+                batch_size: int) -> dict:
+    by_status = lambda s: [p.prompt_id for p in prompts if p.status == s]
+    return {
+        "time": elapsed,
+        "n_frames": n_frames,
+        "n_tracked": n_tracked,
+        "n_filtered": n_filtered,
+        "n_not_used": len(by_status(3)),
+        "n_total": len(prompts),
+        "batch_size": batch_size,
+        "tracked_prompt_ids": by_status(1),
+        "filtered_prompt_ids": by_status(2),
+        "not_used_prompt_ids": by_status(3),
+        "not_tracked_prompt_ids": by_status(0),
+        "fps": n_frames / elapsed if elapsed > 0 else 0.0,
+    }
+
+
 def generate_tracks(
     predictor,
     state,
@@ -113,23 +204,10 @@ def generate_tracks(
 
     while n_tracked < n_max_tracks:
         # --- greedy same-frame batch ---
-        batch: list[PromptMask] = []
-        frame_idx = None
-        for p in prompts:
-            if p.status != 0:
-                continue
-            if frame_idx is None:
-                frame_idx = p.frame_idx
-            elif p.frame_idx != frame_idx:
-                if scan_all_for_same_frame:
-                    continue
-                break
-            batch.append(p)
-            p.status = 1
-            if len(batch) >= limit:
-                break
-            if n_tracked + len(batch) >= n_max_tracks:
-                break
+        batch, frame_idx = select_batch(
+            prompts, limit=limit, n_tracked=n_tracked,
+            n_max_tracks=n_max_tracks,
+            scan_all_for_same_frame=scan_all_for_same_frame)
         if frame_idx is None:
             break
         n_tracked += len(batch)
@@ -172,56 +250,15 @@ def generate_tracks(
                 masklets[p.prompt_id][out_frame_idx] = masks[i]
 
         tokens_by_frame = predictor.get_output_tokens(state)
-        assert len(tokens_by_frame) == n_frames, (
-            f"tokens missing for frames: have {len(tokens_by_frame)} of "
-            f"{n_frames}")
-
-        results = []
-        for i, p in enumerate(batch):
-            frames = masklets[p.prompt_id]
-            assert all(m is not None for m in frames), \
-                f"masklet frames missing for prompt {p.prompt_id}"
-            masklet = np.stack(frames, axis=0)
-            small = np.asarray(mask_ops.reshape_masklet_auto(
-                masklet.astype(np.float32)))
-            toks = np.stack(
-                [np.asarray(tokens_by_frame[f][i])
-                 for f in range(n_frames)], axis=0)
-            results.append(TrackResult(p.prompt_id, masklet, small, toks))
+        results = finalize_batch(batch, masklets, tokens_by_frame, n_frames)
 
         # --- dedup remaining prompts against the new masklets (one device
         # program per track over all remaining prompts) ---
-        for result in results:
-            small_hw = result.masklet_small.shape[1:]
-            remaining = [p for p in prompts if p.status == 0]
-            if remaining:
-                ious = _batched_dedup_ious(result.masklet_small, remaining,
-                                           small_hw)
-                for p, iou in zip(remaining, ious):
-                    if iou > miou_thresh:
-                        p.status = 2
-                        p.filtered_by = result.prompt_id
-                        p.filtered_iou = float(iou)
-                        n_filtered += 1
-            if on_track is not None:
-                on_track(result)
+        n_filtered += dedup_and_emit(results, prompts, miou_thresh, on_track)
 
-    elapsed = time.time() - start_time
-    by_status = lambda s: [p.prompt_id for p in prompts if p.status == s]
-    return {
-        "time": elapsed,
-        "n_frames": n_frames,
-        "n_tracked": n_tracked,
-        "n_filtered": n_filtered,
-        "n_not_used": len(by_status(3)),
-        "n_total": len(prompts),
-        "batch_size": batch_size,
-        "tracked_prompt_ids": by_status(1),
-        "filtered_prompt_ids": by_status(2),
-        "not_used_prompt_ids": by_status(3),
-        "not_tracked_prompt_ids": by_status(0),
-        "fps": n_frames / elapsed if elapsed > 0 else 0.0,
-    }
+    return census_dict(prompts, elapsed=time.time() - start_time,
+                       n_frames=n_frames, n_tracked=n_tracked,
+                       n_filtered=n_filtered, batch_size=batch_size)
 
 
 def mark_not_used(prompts: Sequence[PromptMask], bin_size: int,

@@ -1,0 +1,224 @@
+"""Cross-video packed propagation parity vs the sequential engine.
+
+The packed scan program must not change any video's results: no op mixes
+slots, so slot s's compute stream is identical whether its neighbors are
+the same video's other objects, another video, or padding. Here three
+videos with different lengths, resolutions, and prompt layouts run through
+both paths at fp32 and must produce the same masklets, tokens, dedup
+decisions, and censuses.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sola_tpu.trackgen import engine, packed_engine
+from sola_tpu.trackgen.sam2.model import SAM2Config, SAM2Model
+from sola_tpu.trackgen.sam2.video import SAM2VideoPredictor
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    cfg = SAM2Config.tiny_test(image_size=64)
+    model = SAM2Model(cfg)
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img)
+    return SAM2VideoPredictor(model, variables, obj_batch=4,
+                              compute_dtype=jnp.float32, scan_chunk=4)
+
+
+def make_video(t, hw, seed):
+    rng = np.random.default_rng(seed)
+    frames = []
+    for i in range(t):
+        f = rng.integers(0, 60, (hw[0], hw[1], 3), dtype=np.uint8)
+        x = (4 + 3 * i) % (hw[1] - 12)
+        f[6:min(20, hw[0]), x:x + 10] = 220
+        frames.append(f)
+    return frames
+
+
+def box_mask(hw, y0, y1, x0, x1):
+    m = np.zeros(hw, np.float32)
+    m[y0:y1, x0:x1] = 1.0
+    return m
+
+
+VIDEOS = [
+    dict(t=6, hw=(48, 72), seed=0,
+         prompts=[(0, box_mask((48, 72), 6, 20, 4, 14)),
+                  (0, box_mask((48, 72), 24, 40, 30, 52)),
+                  (0, box_mask((48, 72), 2, 12, 50, 68)),
+                  (2, box_mask((48, 72), 30, 44, 2, 20))]),
+    dict(t=4, hw=(64, 64), seed=1,
+         prompts=[(1, box_mask((64, 64), 6, 20, 7, 17)),
+                  (1, box_mask((64, 64), 40, 60, 40, 60))]),
+    dict(t=9, hw=(40, 56), seed=2,
+         prompts=[(0, box_mask((40, 56), 6, 20, 4, 14)),
+                  (0, box_mask((40, 56), 22, 38, 30, 50)),
+                  (3, box_mask((40, 56), 2, 14, 36, 52)),
+                  (4, box_mask((40, 56), 20, 36, 4, 24)),
+                  (4, box_mask((40, 56), 4, 18, 20, 34))]),
+]
+
+
+def build_prompts(spec):
+    return [engine.PromptMask(prompt_id=i, frame_idx=f, segmentation=m)
+            for i, (f, m) in enumerate(spec["prompts"])]
+
+
+def run_sequential(pred):
+    out = []
+    for spec in VIDEOS:
+        frames = make_video(spec["t"], spec["hw"], spec["seed"])
+        state = pred.init_state(frames)
+        prompts = build_prompts(spec)
+        results = {}
+        census = engine.generate_tracks(
+            pred, state, prompts, n_frames=spec["t"], batch_size=4,
+            miou_thresh=0.7, n_max_tracks=16,
+            on_track=lambda r, d=results: d.__setitem__(r.prompt_id, r))
+        out.append((census, results, prompts))
+    return out
+
+
+def run_packed(pred):
+    jobs = []
+    collected = [dict() for _ in VIDEOS]
+    prompt_lists = []
+    for i, spec in enumerate(VIDEOS):
+        frames = make_video(spec["t"], spec["hw"], spec["seed"])
+        state = pred.init_state(frames)
+        prompts = build_prompts(spec)
+        prompt_lists.append(prompts)
+        jobs.append(packed_engine.VideoJob(
+            video_id=f"v{i}", state=state, prompts=prompts,
+            n_frames=spec["t"], batch_size=4, miou_thresh=0.7,
+            n_max_tracks=16,
+            on_track=lambda r, d=collected[i]: d.__setitem__(
+                r.prompt_id, r)))
+    censuses = packed_engine.generate_tracks_packed(pred, jobs)
+    return list(zip(censuses, collected, prompt_lists))
+
+
+def test_packed_matches_sequential(predictor):
+    seq = run_sequential(predictor)
+    packed = run_packed(predictor)
+    for vi, ((cs, rs, ps), (cp, rp, pp)) in enumerate(zip(seq, packed)):
+        # same census modulo wall-clock fields
+        for k in ("n_frames", "n_tracked", "n_filtered", "n_not_used",
+                  "n_total", "tracked_prompt_ids", "filtered_prompt_ids",
+                  "not_used_prompt_ids", "not_tracked_prompt_ids"):
+            assert cs[k] == cp[k], f"video {vi} census[{k}]: " \
+                f"{cs[k]} != {cp[k]}"
+        # same dedup bookkeeping on the prompt objects
+        for a, b in zip(ps, pp):
+            assert a.status == b.status, f"video {vi} prompt {a.prompt_id}"
+            assert a.filtered_by == b.filtered_by
+        assert set(rs) == set(rp)
+        for pid in rs:
+            a, b = rs[pid], rp[pid]
+            assert a.masklet.shape == b.masklet.shape
+            # fp32 compute: binary masks may differ only at logit~0 pixels
+            diff = (a.masklet != b.masklet).mean()
+            assert diff < 5e-3, f"video {vi} track {pid}: {diff:.4f}"
+            np.testing.assert_allclose(a.tokens, b.tokens, atol=2e-3,
+                                       rtol=1e-3)
+
+
+def test_packed_single_video_full_batch(predictor):
+    """A pack of one video behaves like the sequential engine."""
+    spec = VIDEOS[1]
+    frames = make_video(spec["t"], spec["hw"], spec["seed"])
+    state = pred_state = predictor.init_state(frames)
+    prompts = build_prompts(spec)
+    results = {}
+    job = packed_engine.VideoJob(
+        video_id="solo", state=pred_state, prompts=prompts,
+        n_frames=spec["t"], batch_size=4, n_max_tracks=16,
+        on_track=lambda r: results.__setitem__(r.prompt_id, r))
+    census, = packed_engine.generate_tracks_packed(predictor, [job])
+    assert census["n_tracked"] == 2
+    for pid, r in results.items():
+        assert r.masklet.shape == (spec["t"],) + spec["hw"]
+        assert r.tokens.shape[0] == spec["t"]
+        assert np.isfinite(r.tokens).all()
+
+
+def test_tokens_grid_cli_packed(tmp_path, predictor):
+    """--video_pack drives the real CLI: same artifacts as sequential."""
+    import json
+    import os
+
+    from PIL import Image
+
+    from sola_tpu.core import rle
+    from sola_tpu.trackgen import tokens_grid
+
+    root = tmp_path
+    data_dir = root / "datasets" / "mevis" / "valid_u"
+    prompt_dirs = []
+    for out_root in ("seq", "packed"):
+        d = (root / out_root / "sam2_prompts" / "grid_prompts" / "mevis"
+             / "valid_u")
+        d.mkdir(parents=True)
+        prompt_dirs.append(d)
+    meta = {"videos": {}}
+    rng = np.random.default_rng(3)
+    for v in range(3):
+        vid = f"vid{v}"
+        frames_dir = data_dir / "JPEGImages" / vid
+        frames_dir.mkdir(parents=True)
+        t_v = 4 + 2 * v
+        for t in range(t_v):
+            img = rng.integers(0, 50, (40, 56, 3), dtype=np.uint8)
+            img[8:20, 4 + 4 * t:16 + 4 * t] = 210
+            Image.fromarray(img.astype(np.uint8)).save(
+                frames_dir / f"{t:05d}.jpg")
+        meta["videos"][vid] = {
+            "frames": [f"{t:05d}" for t in range(t_v)],
+            "expressions": {"0": {"exp": "thing", "anno_id": [v]}},
+        }
+        prompts = []
+        for i in range(v + 1):
+            m = np.zeros((40, 56), np.uint8)
+            m[8 + 10 * i:20 + 10 * i, 4:20] = 1
+            prompts.append({"prompt_id": i, "frame_idx": 0,
+                            "segmentation": rle.encode(m)})
+        for prompt_dir in prompt_dirs:
+            (prompt_dir / f"{vid}.json").write_text(json.dumps(
+                {"video_id": vid, "bin_size": 4, "prompt_masks": prompts}))
+    (data_dir / "meta_expressions.json").write_text(json.dumps(meta))
+
+    def run(out_root, extra):
+        tokens_grid.main(
+            ["--dataset", "mevis", "--data_type", "valid_u",
+             "--bin_size", "4", "--data_root", str(root),
+             "--output_root", out_root, "--n_max_tracks", "8"] + extra,
+            predictor_factory=lambda: predictor)
+        out = os.path.join(out_root, "sam2_tracks/grid_tracks/mevis/valid_u")
+        return out, json.load(open(os.path.join(out, "runtime_info_4.json")))
+
+    seq_out, seq_info = run(str(root / "seq"), [])
+    pk_out, pk_info = run(str(root / "packed"), ["--video_pack", "3"])
+
+    assert set(seq_info) == set(pk_info) == {"vid0", "vid1", "vid2"}
+    for vid in seq_info:
+        for k in ("n_tracked", "n_filtered", "n_total",
+                  "tracked_prompt_ids", "filtered_prompt_ids"):
+            assert seq_info[vid][k] == pk_info[vid][k], (vid, k)
+        mdir = os.path.join(seq_out, "sam2_masklets", vid)
+        assert (sorted(os.listdir(mdir))
+                == sorted(os.listdir(os.path.join(
+                    pk_out, "sam2_masklets", vid))))
+        for name in os.listdir(mdir):
+            a = json.load(open(os.path.join(mdir, name)))
+            b = json.load(open(os.path.join(pk_out, "sam2_masklets", vid,
+                                            name)))
+            ma = np.stack([rle.decode(r) for r in a["rle"]])
+            mb = np.stack([rle.decode(r) for r in b["rle"]])
+            assert (ma != mb).mean() < 5e-3
