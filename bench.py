@@ -13,7 +13,9 @@ one video per GPU process, runtime_info fps at generate_tokens_gdino.py:329).
   - selection_train_pairs_per_s (full fwd+bwd+AdamW step)
 
 Knobs: SOLA_BENCH_FRAMES (default 32), SOLA_BENCH_SKIP_TRACKGEN=1 to skip
-the SAM2 stage (slow first compile through this sandbox's remote relay).
+the SAM2 stage (slow first compile through this sandbox's remote relay),
+SOLA_BENCH_ONLY=sec1,sec2 to run selected sections only
+(selection/train/loader/roberta/gdino/trackgen).
 """
 
 import json
@@ -325,7 +327,15 @@ def bench_trackgen(n_frames: int, obj_batch: int = 8) -> dict:
         """Per repeat, time the full and half pass back-to-back (same link
         phase) and difference them; min over repeats. Differencing inside
         one repeat is what makes the slope robust to the tunneled link's
-        multi-second phase changes between repeats."""
+        multi-second phase changes between repeats.
+
+        Degenerate pairs are clamped: a host-load or link burst during the
+        half pass can make t_half >= t_full, giving a non-positive (or
+        absurdly small) slope — a pair's slope is only accepted inside
+        (5% .. 100%] of the full pass's naive per-frame time; otherwise
+        that repeat falls back to the naive bound (fixed costs included,
+        conservative). Without this the headline can print negative
+        (observed once under concurrent host load)."""
         best_slope, best_fixed, n_full = float("inf"), 0.0, 0
         for _ in range(repeats):
             t0 = time.perf_counter()
@@ -335,7 +345,10 @@ def bench_trackgen(n_frames: int, obj_batch: int = 8) -> dict:
             n_half = run_pass(state_half, output_mode)
             t_half = time.perf_counter() - t0
             d = max((n_full - 1) - (n_half - 1), 1)
+            naive = t_full / max(n_full - 1, 1)
             slope = (t_full - t_half) / d
+            if not (0.05 * naive < slope <= naive):
+                slope = naive  # degenerate pairing; see docstring
             if slope < best_slope:
                 best_slope = slope
                 best_fixed = max(t_half - slope * (n_half - 1), 0.0)
@@ -468,11 +481,15 @@ def _with_timeout(fn, seconds: int):
 def main() -> None:
     metrics: dict = {}
     errors: dict = {}
+    only = os.environ.get("SOLA_BENCH_ONLY")  # comma list, e.g. "trackgen"
+    only = set(only.split(",")) if only else None
     for name, fn, budget in [("selection", bench_selection, 1200),
                              ("train", bench_train_step, 1200),
                              ("loader", bench_loader_train, 1500),
                              ("roberta", bench_roberta, 900),
                              ("gdino", bench_gdino, 1500)]:
+        if only is not None and name not in only:
+            continue
         try:
             metrics.update(_with_timeout(fn, budget))
         except Exception as e:  # report partial results, never crash
@@ -484,7 +501,8 @@ def main() -> None:
         ratio = (metrics["loader_train_pairs_per_s"]
                  / metrics["selection_train_pairs_per_s"])
         metrics["train_step_idle_frac"] = round(max(0.0, 1.0 - ratio), 3)
-    if os.environ.get("SOLA_BENCH_SKIP_TRACKGEN") != "1":
+    if os.environ.get("SOLA_BENCH_SKIP_TRACKGEN") != "1" and (
+            only is None or "trackgen" in only):
         try:
             metrics.update(_with_timeout(
                 lambda: bench_trackgen(

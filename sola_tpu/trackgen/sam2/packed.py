@@ -60,18 +60,30 @@ class PackedFeatures:
 
     @classmethod
     def build(cls, states: Sequence[InferenceState]) -> "PackedFeatures":
-        lengths = np.asarray([s.num_frames for s in states], np.int64)
-        offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]])
-        total = int(lengths.sum())
+        """Entries sharing one ``InferenceState`` object (e.g. several
+        expressions of the same video in the gdino flavor) share one
+        feature region — the buffer holds each unique state once."""
+        uniq: dict = {}
+        which = []
+        for s in states:
+            if id(s) not in uniq:
+                uniq[id(s)] = (len(uniq), s)
+            which.append(uniq[id(s)][0])
+        ustates = [s for _, s in sorted(uniq.values(),
+                                        key=lambda t: t[0])]
+        ulen = np.asarray([s.num_frames for s in ustates], np.int64)
+        uoff = np.concatenate([[0], np.cumsum(ulen)[:-1]])
+        total = int(ulen.sum())
         pad = _bucket(total) - total
         feats = {}
         for k in ("pix", "s0", "s1"):
-            parts = [s.features[k] for s in states]
+            parts = [s.features[k] for s in ustates]
             if pad:
                 z = jnp.zeros((pad,) + parts[0].shape[1:], parts[0].dtype)
                 parts = parts + [z]
             feats[k] = jnp.concatenate(parts, axis=0)
-        return cls(feats=feats, offsets=offsets, lengths=lengths,
+        which = np.asarray(which)
+        return cls(feats=feats, offsets=uoff[which], lengths=ulen[which],
                    orig_hws=[s.orig_hw for s in states])
 
 

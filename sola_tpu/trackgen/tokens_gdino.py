@@ -87,6 +87,57 @@ def run_expression(predictor, state, video_id: str, expression_id: str,
     return census
 
 
+def run_expressions_packed(predictor, state, video_id: str,
+                           expression_ids: list, prompt_path: str,
+                           track_root: str, dataset: str, data_type: str,
+                           n_frames: int, *,
+                           bin_size: int = 4, batch_size: int = 4,
+                           miou_thresh: float = 0.7,
+                           stability_score_thresh: float = 0.85,
+                           n_max_tracks: int = 16,
+                           gt_masklets: Optional[dict] = None,
+                           output_dir_name: str = "gdino_tracks",
+                           log: Callable[[str], None] = print) -> dict:
+    """Pack several expressions of ONE video into shared propagation
+    rounds: they share the encoded frame features (one HBM region) and
+    their prompt batches fill the scan program's object slots together.
+    Per-expression artifacts and censuses match ``run_expression``."""
+    from sola_tpu.trackgen import packed_engine
+
+    def make_on_track(expression_id):
+        def on_track(result: engine.TrackResult) -> None:
+            metrics = None
+            if gt_masklets is not None:
+                metrics = gt_utils.metrics_vs_gt(result.masklet_small,
+                                                 gt_masklets)
+            tracks_lib.save_track(
+                track_root, output_dir_name, dataset, data_type, video_id,
+                result.prompt_id, rle.encode_masklet(result.masklet),
+                "SAM2 AMG MASK", result.tokens,
+                expression_id=expression_id, metrics=metrics)
+        return on_track
+
+    jobs, extras = [], {}
+    for expression_id in expression_ids:
+        prompts, n_not_used, n_total = load_expression_prompts(
+            prompt_path, video_id, bin_size, expression_id,
+            stability_score_thresh)
+        extras[expression_id] = (n_not_used, n_total)
+        jobs.append(packed_engine.VideoJob(
+            video_id=f"{video_id}/{expression_id}", state=state,
+            prompts=prompts, n_frames=n_frames, batch_size=batch_size,
+            miou_thresh=miou_thresh, n_max_tracks=n_max_tracks,
+            scan_all_for_same_frame=False,
+            on_track=make_on_track(expression_id)))
+    censuses = packed_engine.generate_tracks_packed(predictor, jobs,
+                                                    log=log)
+    out = {}
+    for expression_id, census in zip(expression_ids, censuses):
+        census["n_not_used"], census["n_total"] = extras[expression_id]
+        out[expression_id] = census
+    return out
+
+
 def main(argv=None, predictor_factory=None) -> None:
     from sola_tpu.utils import compcache
     compcache.enable()
@@ -109,6 +160,14 @@ def main(argv=None, predictor_factory=None) -> None:
     parser.add_argument("--prefetch_videos", type=int, default=1,
                         help="encode the next video while the current one "
                              "propagates (0 to serialize)")
+    parser.add_argument("--expr_pack", type=int, default=1,
+                        help="expressions per packed propagation round: >1 "
+                             "packs several expressions' prompt batches "
+                             "into one SAM2 scan program over the shared "
+                             "video features (results identical)")
+    parser.add_argument("--obj_batch", type=int, default=0,
+                        help="SAM2 object slots per scan program; 0 = "
+                             "batch_size (sequential) or 8 (packed)")
     parser.add_argument("--data_root", type=str, default=".")
     parser.add_argument("--output_root", type=str, default=".")
     args = parser.parse_args(argv)
@@ -136,10 +195,12 @@ def main(argv=None, predictor_factory=None) -> None:
         with open(os.path.join(data_dir, "mask_dict.json")) as f:
             mask_dict = json.load(f)
 
+    obj_batch = args.obj_batch or (
+        args.batch_size if args.expr_pack <= 1 else 8)
     if predictor_factory is None:
         from sola_tpu.trackgen.sam2.convert import load_sam2_video_predictor
         predictor_factory = lambda: load_sam2_video_predictor(
-            args.sam2_ckpt, obj_batch=args.batch_size)
+            args.sam2_ckpt, obj_batch=obj_batch)
     predictor = predictor_factory()
 
     runtime_path = os.path.join(out_dir, "runtime_info.json")
@@ -186,9 +247,28 @@ def main(argv=None, predictor_factory=None) -> None:
                     reshape=True)
 
         state = prefetcher.get(video_id, frames_dir)
-        for expression_id in video_meta["expressions"]:
-            if expression_id in runtime_info[video_id]:
-                continue  # resume: already done
+        pending = [e for e in video_meta["expressions"]
+                   if e not in runtime_info[video_id]]
+        if args.expr_pack > 1:
+            for g0 in range(0, len(pending), args.expr_pack):
+                group = pending[g0:g0 + args.expr_pack]
+                censuses = run_expressions_packed(
+                    predictor, state, video_id, group,
+                    os.path.join(prompt_dir, f"{video_id}.json"),
+                    track_root, args.dataset, args.data_type, n_frames,
+                    bin_size=args.bin_size, batch_size=args.batch_size,
+                    miou_thresh=args.miou_thresh,
+                    stability_score_thresh=args.stability_score_thresh,
+                    n_max_tracks=args.n_max_tracks,
+                    gt_masklets=gt_masklets)
+                for expression_id, census in censuses.items():
+                    census["fps"] = n_frames / max(census["time"], 1e-9)
+                    runtime_info[video_id][expression_id] = census
+                os.makedirs(out_dir, exist_ok=True)
+                with open(runtime_path, "w") as f:
+                    json.dump(runtime_info, f, indent=4)
+            continue
+        for expression_id in pending:
             start = time.time()
             census = run_expression(
                 predictor, state, video_id, expression_id,
