@@ -110,9 +110,15 @@ def select_batch(prompts: Sequence[PromptMask], *, limit: int,
 
 
 def finalize_batch(batch: Sequence[PromptMask], masklets: dict,
-                   tokens_by_frame: dict, n_frames: int) -> list:
+                   tokens_by_frame: dict, n_frames: int,
+                   small_masklets: Optional[dict] = None) -> list:
     """Assemble TrackResults for a tracked batch: stacked full-res masklet,
-    canonical <=960x540 resize, per-frame token matrix."""
+    canonical <=960x540 resize, per-frame token matrix.
+
+    ``small_masklets``: optional {prompt_id: (T, sh, sw) DEVICE array} —
+    the predictor's device-resident smalls (get_small_masklets). Without
+    it the small is recomputed from the host masklet (oracle/fake
+    predictors), which costs a ~50 MB device fetch per 32-frame track."""
     assert len(tokens_by_frame) == n_frames, (
         f"tokens missing for frames: have {len(tokens_by_frame)} of "
         f"{n_frames}")
@@ -122,8 +128,11 @@ def finalize_batch(batch: Sequence[PromptMask], masklets: dict,
         assert all(m is not None for m in frames), \
             f"masklet frames missing for prompt {p.prompt_id}"
         masklet = np.stack(frames, axis=0)
-        small = np.asarray(mask_ops.reshape_masklet_auto(
-            masklet.astype(np.float32)))
+        if small_masklets is not None and p.prompt_id in small_masklets:
+            small = small_masklets[p.prompt_id]  # device-resident
+        else:
+            small = np.asarray(mask_ops.reshape_masklet_auto(
+                masklet.astype(np.float32)))
         toks = np.stack(
             [np.asarray(tokens_by_frame[f][i])
              for f in range(n_frames)], axis=0)
@@ -250,7 +259,13 @@ def generate_tracks(
                 masklets[p.prompt_id][out_frame_idx] = masks[i]
 
         tokens_by_frame = predictor.get_output_tokens(state)
-        results = finalize_batch(batch, masklets, tokens_by_frame, n_frames)
+        smalls = None
+        if masks_mode and hasattr(predictor, "get_small_masklets"):
+            dev = predictor.get_small_masklets(state)  # (T, n, sh, sw) bool
+            smalls = {p.prompt_id: dev[:, i]
+                      for i, p in enumerate(batch)}
+        results = finalize_batch(batch, masklets, tokens_by_frame, n_frames,
+                                 small_masklets=smalls)
 
         # --- dedup remaining prompts against the new masklets (one device
         # program per track over all remaining prompts) ---

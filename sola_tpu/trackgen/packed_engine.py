@@ -132,6 +132,7 @@ def generate_tracks_packed(predictor, jobs: Sequence[VideoJob],
                 j = jobs[vi]
                 masklets = {}
                 toks = {}
+                smalls = {}
                 for wi, p, slot in slot_of:
                     if wi != vi:
                         continue
@@ -140,11 +141,13 @@ def generate_tracks_packed(predictor, jobs: Sequence[VideoJob],
                     masklets[p.prompt_id] = [m[f] for f in
                                              range(j.n_frames)]
                     toks[p.prompt_id] = t
+                    smalls[p.prompt_id] = out["smalls"][slot]
                 tokens_by_frame = {
                     f: np.stack([toks[p.prompt_id][f] for p in batch])
                     for f in range(j.n_frames)}
                 results = engine.finalize_batch(batch, masklets,
-                                                tokens_by_frame, j.n_frames)
+                                                tokens_by_frame, j.n_frames,
+                                                small_masklets=smalls)
                 j.n_filtered += engine.dedup_and_emit(
                     results, j.prompts, j.miou_thresh, j.on_track)
 

@@ -341,18 +341,28 @@ class PackedPropagator:
                  cond_masks: np.ndarray, cond_ptr) -> dict:
         """Fetch outputs: per-video-resolution bit-packed masks (two-phase:
         all resize programs enqueue before any host fetch) + one token
-        fetch per pass; distribute to per-slot {frame: mask/token} dicts."""
+        fetch per pass; distribute to per-slot {frame: mask/token} dicts.
+        Canonical small masklets stay DEVICE-RESIDENT ("smalls": per-slot
+        (T, sh, sw) bool arrays) — the engine's dedup/metrics consumers
+        never pay their host fetch."""
+        from sola_tpu.core import mask_ops
         pred = self.pred
         masks = {s: {} for s in range(self.b) if plan.video[s] >= 0}
         tokens = {s: {} for s in range(self.b) if plan.video[s] >= 0}
+        cond_smalls = {}
 
         # conditioning-frame outputs reproduce the sequential path: the
         # prompt mask round-tripped through the model input size
         cond_np = np.asarray(cond_ptr, np.float32)
         for s in list(masks.keys()):
             oh, ow = pack.orig_hws[plan.video[s]]
+            sh, sw = mask_ops.reshape_hw(oh, ow)
             logits = jnp.asarray(cond_masks[s])[None] * 20.0 - 10.0
-            full = np.asarray(_resize_logits(logits, (oh, ow)))[0]
+            full_dev = _resize_logits(logits, (oh, ow))
+            cond_smalls[s] = mask_ops.reshape_masklet(
+                (full_dev > 0.0).astype(jnp.float32), (sh, sw)
+            ).astype(bool)[0]
+            full = np.asarray(full_dev)[0]
             masks[s][int(plan.cond[s])] = (full > 0.0).astype(np.uint8)
             tokens[s][int(plan.cond[s])] = cond_np[s]
 
@@ -367,10 +377,13 @@ class PackedPropagator:
             lo = jnp.concatenate([o[0] for o in outs], axis=0)
             ptr = jnp.concatenate([o[1] for o in outs], axis=0)
             for (oh, ow), slots in groups.items():
-                packed = pred._resize_batch_packed(
-                    lo[:, np.asarray(slots)], oh, ow)
-                fetch.append((packed, ptr, fidx, active, slots, oh, ow))
-        for packed, ptr, fidx, active, slots, oh, ow in fetch:
+                sh, sw = mask_ops.reshape_hw(oh, ow)
+                packed, small = pred._resize_pack_small(
+                    lo[:, np.asarray(slots)], oh, ow, sh, sw)
+                fetch.append((packed, small, ptr, fidx, active, slots,
+                              oh, ow))
+        slot_small_parts = {s: [] for s in masks}
+        for packed, small, ptr, fidx, active, slots, oh, ow in fetch:
             packed_np = np.asarray(packed)
             ptr_np = np.asarray(ptr, np.float32)
             L, k = packed_np.shape[:2]
@@ -379,8 +392,22 @@ class PackedPropagator:
                     L, k, oh, -1)[..., :ow]
             for j, s in enumerate(slots):
                 steps = np.nonzero(active[:, s])[0]
+                if len(steps):
+                    slot_small_parts[s].append(
+                        (fidx[steps, s], small[np.asarray(steps), j]))
                 for t in steps:
                     f = int(fidx[t, s])
                     masks[s][f] = hi[t, j]
                     tokens[s][f] = ptr_np[t, s]
-        return {"masks": masks, "tokens": tokens}
+
+        smalls = {}
+        for s in masks:
+            parts = slot_small_parts[s]
+            fr = np.concatenate(
+                [[int(plan.cond[s])]] + [p[0] for p in parts]).astype(int)
+            dev = jnp.concatenate(
+                [cond_smalls[s][None]] + [p[1] for p in parts], axis=0)
+            perm = np.zeros(len(fr), np.int64)
+            perm[fr] = np.arange(len(fr))
+            smalls[s] = dev[jnp.asarray(perm)]
+        return {"masks": masks, "tokens": tokens, "smalls": smalls}

@@ -51,6 +51,9 @@ class InferenceState:
     obj_ids: list = dataclasses.field(default_factory=list)
     seed_buf: Optional[jax.Array] = None     # (R, B, h, w, mem) fwd seeds
     seed_frames: Optional[np.ndarray] = None
+    # device-resident canonical small masklets, accumulated per pass in
+    # "masks" mode: list of (frame_idxs, (chunk, n_obj, sh, sw) bool)
+    small_parts: Optional[list] = None
 
 
 class SAM2VideoPredictor:
@@ -223,6 +226,32 @@ class SAM2VideoPredictor:
         self._resize_batch_packed = jax.jit(_resize_pack,
                                             static_argnums=(1, 2))
 
+        # full-res binary + canonical <=960x540 small masklet in ONE
+        # program; the small stays DEVICE-RESIDENT (engine dedup and GT
+        # metrics consume it on device — fetching it costs ~66 MB fp32 per
+        # 32-frame track over the host link, the dominant cost of the
+        # sequential engine path before this existed)
+        def _resize_pack_small(lo, h, w, sh, sw):
+            m = jax.image.resize(
+                lo.astype(jnp.float32),
+                (lo.shape[0], lo.shape[1], h, w), method="linear") > 0.0
+            w8 = (w + 7) // 8 * 8
+            bits = jnp.pad(
+                m, ((0, 0), (0, 0), (0, 0), (0, w8 - w))).astype(jnp.uint8)
+            weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+            packed = jnp.sum(
+                bits.reshape(m.shape[0], m.shape[1], h, w8 // 8, 8)
+                * weights, axis=-1, dtype=jnp.uint8)
+            # reshape_masklet semantics (core/mask_ops.py): binary ->
+            # linear resize -> > 0.5
+            small = jax.image.resize(
+                m.astype(jnp.float32),
+                (m.shape[0], m.shape[1], sh, sw), method="linear") > 0.5
+            return packed, small
+
+        self._resize_pack_small = jax.jit(_resize_pack_small,
+                                          static_argnums=(1, 2, 3, 4))
+
     # ------------------------------------------------------------------
     # Protocol
     # ------------------------------------------------------------------
@@ -267,6 +296,7 @@ class SAM2VideoPredictor:
         state.obj_ids = []
         state.seed_buf = None
         state.seed_frames = None
+        state.small_parts = None
 
     def add_new_mask(self, state: InferenceState, frame_idx: int,
                      obj_id: int, mask: np.ndarray):
@@ -391,9 +421,23 @@ class SAM2VideoPredictor:
         # the prompt-based output for cond frames)
         prompt_logits = jnp.asarray(
             self._prompt_masks(state, cond_idx)) * 20.0 - 10.0
-        cond_out = np.asarray(_resize_logits(prompt_logits[:n_obj],
-                                             state.orig_hw))
+        cond_dev = _resize_logits(prompt_logits[:n_obj], state.orig_hw)
+        cond_out = np.asarray(cond_dev)
         if output_mode == "masks":
+            # canonical small stays on device alongside the host fetch
+            from sola_tpu.core import mask_ops
+            sh, sw = mask_ops.reshape_hw(*state.orig_hw)
+            if state.small_parts is None:
+                state.small_parts = []
+            # both pass directions yield the cond output (upstream
+            # contract); record its small once
+            if not any(len(p[0]) == 1 and p[0][0] == cond_idx
+                       for p in state.small_parts):
+                state.small_parts.append((
+                    np.asarray([cond_idx]),
+                    mask_ops.reshape_masklet(
+                        (cond_dev > 0.0).astype(jnp.float32),
+                        (sh, sw)).astype(bool)[None]))
             yield (cond_idx, list(state.obj_ids),
                    (cond_out > 0.0).astype(np.uint8))
         else:
@@ -466,8 +510,20 @@ class SAM2VideoPredictor:
         chunk = 16
         bounds = [(s, min(s + chunk, n_valid))
                   for s in range(0, n_valid, chunk)]
-        packed_chunks = [self._resize_batch_packed(
-            low_res[s:e, :n_obj], oh, ow) for s, e in bounds]
+        if output_mode == "masks":
+            from sola_tpu.core import mask_ops
+            sh, sw = mask_ops.reshape_hw(oh, ow)
+            packed_chunks = []
+            if state.small_parts is None:
+                state.small_parts = []
+            for s, e in bounds:
+                packed, small = self._resize_pack_small(
+                    low_res[s:e, :n_obj], oh, ow, sh, sw)
+                packed_chunks.append(packed)
+                state.small_parts.append((frame_idxs[s:e], small))
+        else:
+            packed_chunks = [self._resize_batch_packed(
+                low_res[s:e, :n_obj], oh, ow) for s, e in bounds]
         toks_np = np.asarray(obj_ptrs[:n_valid])  # one small fetch per pass
         for (cstart, cend), packed_dev in zip(bounds, packed_chunks):
             packed = np.asarray(packed_dev)
@@ -486,6 +542,25 @@ class SAM2VideoPredictor:
                     # device-thresholded masks
                     logits = hi_np[j].astype(np.float32) * 20.0 - 10.0
                     yield (fidx, list(state.obj_ids), logits[:, None])
+
+    def get_small_masklets(self, state: InferenceState) -> jax.Array:
+        """(T, n_obj, sh, sw) bool DEVICE array of canonical <=960x540
+        small masklets, assembled from the per-pass device chunks of
+        "masks"-mode propagation (engine dedup and GT metrics consume
+        this on device; it is never fetched to host).
+
+        Requires full bidirectional coverage (every frame seen once)."""
+        parts = state.small_parts or []
+        assert parts, "no masks-mode propagation has run on this state"
+        fidx = np.concatenate([p[0] for p in parts])
+        assert len(fidx) == state.num_frames and (
+            np.sort(fidx) == np.arange(state.num_frames)).all(), (
+            f"small masklets cover {len(fidx)} of {state.num_frames} "
+            "frames")
+        all_small = jnp.concatenate([p[1] for p in parts], axis=0)
+        perm = np.zeros(state.num_frames, np.int64)
+        perm[fidx] = np.arange(len(fidx))
+        return all_small[jnp.asarray(perm)]
 
     def get_output_tokens(self, state: InferenceState) -> dict:
         """frame_idx -> (n_obj, d) obj_ptr array (host)."""
