@@ -222,3 +222,60 @@ def test_tokens_grid_cli_packed(tmp_path, predictor):
             ma = np.stack([rle.decode(r) for r in a["rle"]])
             mb = np.stack([rle.decode(r) for r in b["rle"]])
             assert (ma != mb).mean() < 5e-3
+
+
+def test_gdino_expressions_packed(tmp_path, predictor):
+    """Expression packing (shared video state) matches run_expression."""
+    import json
+
+    from sola_tpu.core import rle as rle_lib
+    from sola_tpu.data import tracks as tracks_lib
+    from sola_tpu.trackgen.tokens_gdino import (run_expression,
+                                                run_expressions_packed)
+
+    T, hw = 5, (48, 64)
+    frames = make_video(T, hw, seed=5)
+    prompts = []
+    pid = 0
+    for expr_id, x in (("0", 4), ("1", 24)):
+        for fi in (0, 1):
+            m = np.zeros(hw, np.uint8)
+            m[6 + 6 * fi:20 + 6 * fi, x:x + 14] = 1
+            prompts.append({
+                "segmentation": rle_lib.encode(m), "stability_score": 0.95,
+                "area": int(m.sum()), "area_ratio": 0.05,
+                "frame_idx": fi, "expression_id": expr_id,
+                "prompt_id": pid})
+            pid += 1
+    prompt_path = tmp_path / "vid0.json"
+    prompt_path.write_text(json.dumps(
+        {"video_id": "vid0", "bin_size": 1, "prompt_masks": prompts}))
+
+    seq_root = tmp_path / "seq" / "sam2_tracks"
+    state = predictor.init_state(frames)
+    seq_census = {}
+    for expr in ("0", "1"):
+        seq_census[expr] = run_expression(
+            predictor, state, "vid0", expr, str(prompt_path),
+            str(seq_root), "mevis", "valid_u", T, bin_size=1,
+            n_max_tracks=8, log=lambda s: None)
+
+    pk_root = tmp_path / "packed" / "sam2_tracks"
+    state2 = predictor.init_state(frames)
+    pk_census = run_expressions_packed(
+        predictor, state2, "vid0", ["0", "1"], str(prompt_path),
+        str(pk_root), "mevis", "valid_u", T, bin_size=1,
+        n_max_tracks=8, log=lambda s: None)
+
+    for expr in ("0", "1"):
+        a, b = seq_census[expr], pk_census[expr]
+        for k in ("n_total", "n_not_used", "n_tracked", "n_filtered",
+                  "tracked_prompt_ids", "filtered_prompt_ids"):
+            assert a[k] == b[k], (expr, k, a[k], b[k])
+        ra = tracks_lib.load_track_records(
+            str(seq_root), "gdino_tracks", "mevis", "valid_u", "vid0",
+            expression_id=expr)
+        rb = tracks_lib.load_track_records(
+            str(pk_root), "gdino_tracks", "mevis", "valid_u", "vid0",
+            expression_id=expr)
+        assert len(ra) == len(rb) >= 1
