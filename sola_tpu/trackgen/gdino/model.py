@@ -28,6 +28,7 @@ from __future__ import annotations
 import dataclasses
 import math
 import os
+from functools import partial
 from typing import Optional, Sequence
 
 import jax
@@ -582,23 +583,32 @@ def resize_shape(h: int, w: int, target: int, max_size: int):
     return oh, ow
 
 
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _prep_canvas(raw: jax.Array, oh: int, ow: int, ch: int, cw: int):
+    """resize -> normalize -> pad -> extent mask, ONE program. The raw
+    image crosses the host link in its native dtype (uint8: 1 byte/px —
+    the fp32 eager path shipped 4x the bytes and built the pixel mask on
+    host, another full-canvas upload per image)."""
+    img = jax.image.resize(raw.astype(jnp.float32), (oh, ow, 3),
+                           method="linear")
+    img = (img / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    canvas = jnp.zeros((ch, cw, 3), jnp.float32).at[:oh, :ow].set(img)
+    mask = (jnp.arange(ch)[:, None] < oh) & (jnp.arange(cw)[None, :] < ow)
+    return canvas, mask
+
+
 def preprocess_image(image: np.ndarray, cfg: GDINOConfig):
     """uint8 (H, W, 3) -> (canvas, pixel_mask, (oh, ow)) on a fixed padded
     canvas (static jit shapes; the mask carries the true extent, exactly how
     upstream batches mixed sizes)."""
     h, w = image.shape[:2]
     oh, ow = resize_shape(h, w, cfg.size_target, cfg.size_max)
-    img = jax.image.resize(jnp.asarray(image, jnp.float32), (oh, ow, 3),
-                           method="linear")
-    img = (img / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
     ch = cfg.size_max if oh > ow else cfg.size_target
     cw = cfg.size_max if ow >= oh else cfg.size_target
     ch, cw = max(ch, oh), max(cw, ow)
-    canvas = jnp.zeros((ch, cw, 3), jnp.float32)
-    canvas = canvas.at[:oh, :ow].set(img)
-    mask = np.zeros((ch, cw), bool)
-    mask[:oh, :ow] = True
-    return canvas, jnp.asarray(mask), (oh, ow)
+    canvas, mask = _prep_canvas(jnp.asarray(np.ascontiguousarray(image)),
+                                oh, ow, ch, cw)
+    return canvas, mask, (oh, ow)
 
 
 # ---------------------------------------------------------------------------

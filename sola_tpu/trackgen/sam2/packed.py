@@ -382,6 +382,14 @@ class PackedPropagator:
                     lo[:, np.asarray(slots)], oh, ow, sh, sw)
                 fetch.append((packed, small, ptr, fidx, active, slots,
                               oh, ow))
+        # queue all device->host copies before any blocking fetch: link
+        # transfers overlap the host-side unpackbits/distribution loop
+        seen = set()
+        for packed, _, ptr, *_ in fetch:
+            packed.copy_to_host_async()
+            if id(ptr) not in seen:
+                ptr.copy_to_host_async()
+                seen.add(id(ptr))
         slot_small_parts = {s: [] for s in masks}
         for packed, small, ptr, fidx, active, slots, oh, ow in fetch:
             packed_np = np.asarray(packed)

@@ -524,7 +524,15 @@ class SAM2VideoPredictor:
         else:
             packed_chunks = [self._resize_batch_packed(
                 low_res[s:e, :n_obj], oh, ow) for s, e in bounds]
-        toks_np = np.asarray(obj_ptrs[:n_valid])  # one small fetch per pass
+        # queue every chunk's device->host copy NOW: the link transfer of
+        # chunk k+1 overlaps the host-side unpackbits of chunk k, and the
+        # first transfer starts the moment its program finishes instead of
+        # when the host loop reaches it (the np.asarray below just waits)
+        toks_dev = obj_ptrs[:n_valid]
+        toks_dev.copy_to_host_async()
+        for p in packed_chunks:
+            p.copy_to_host_async()
+        toks_np = np.asarray(toks_dev)  # one small fetch per pass
         for (cstart, cend), packed_dev in zip(bounds, packed_chunks):
             packed = np.asarray(packed_dev)
             bsz, nob = packed.shape[:2]
