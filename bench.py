@@ -304,15 +304,14 @@ def bench_trackgen(n_frames: int, obj_batch: int = 8) -> dict:
     raw_all = jnp.asarray(np.stack(frames))  # one upload, outside timing
     jax.block_until_ready(raw_all)
     ck = pred.encode_chunk
-    t_enc_compute = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        outs = [pred._encode_from_raw(pred.compute_variables,
-                                      raw_all[s:s + ck])
-                for s in range(0, n_frames - n_frames % ck, ck)]
-        float(outs[-1]["pix"].astype(jnp.float32).sum())  # FIFO queue drain
-        t_enc_compute = min(t_enc_compute, time.perf_counter() - t0)
     n_enc = n_frames - n_frames % ck
+    pred.encode_frames_device(raw_all[:n_enc])  # compile
+    t_enc_compute = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        f = pred.encode_frames_device(raw_all[:n_enc])
+        float(f["pix"].astype(jnp.float32).sum())  # value-fetch drain
+        t_enc_compute = min(t_enc_compute, time.perf_counter() - t0)
 
     # a half-length view sharing the encoded features: the SLOPE between
     # the full and half pass removes per-pass fixed costs (cond-frame
@@ -417,70 +416,131 @@ def bench_trackgen(n_frames: int, obj_batch: int = 8) -> dict:
     return out
 
 
-def bench_packed(n_frames: int = 32, repeats: int = 2) -> dict:
+def bench_packed(n_frames: int = 32, repeats: int = 3) -> dict:
     """Cross-video packed propagation (sam2/packed.py): N videos' objects
     share one lax.scan program's slots — a capability the reference cannot
     express (its loop is one-video-at-a-time, <=4 objects per pass,
     generate_tokens_grid.py:181-186). Scenario: 2 videos x 4 prompts at an
-    8-slot program — the sequential engine runs 2 rounds at 50% slot
-    utilization; packing runs 1 round at 100%. Reports aggregate
-    object-frames/s through the full engine path (dedup disabled to
-    isolate propagation; mask fetch included) and the packed:sequential
-    speedup."""
-    import jax
+    8-slot program — sequential runs 2 propagation passes at 50% slot
+    utilization; packing runs 1 at 100%.
 
-    from sola_tpu.trackgen import engine, packed_engine
+    Timing uses the same paired full/half-length slope method as the
+    headline (per-frame marginal cost, mask fetch included): engine-level
+    absolute times are dominated by this sandbox's bursty host link and
+    shared host finalize work, which the slope differences out. The
+    reported fps are per-frame-step aggregate object throughputs:
+    sequential carries 4 live objects per step and needs 2 passes for the
+    8 objects; packed carries all 8 in one pass."""
+    import dataclasses as _dc
+
+    from sola_tpu.trackgen import packed_engine
     from sola_tpu.trackgen.sam2.convert import build_sam2
+    from sola_tpu.trackgen.sam2.packed import (PackedFeatures,
+                                               PackedPropagator, SlotPlan)
     from sola_tpu.trackgen.sam2.video import SAM2VideoPredictor
 
     model, variables = build_sam2(None)
     pred = SAM2VideoPredictor(model, variables, obj_batch=8)
     H, W = 480, 854
+    size = pred.cfg.image_size
 
     def make_frames(seed):
         r = np.random.default_rng(seed)
         return [r.integers(0, 255, (H, W, 3), dtype=np.uint8)
                 for _ in range(n_frames)]
 
-    def make_prompts():
-        ps = []
-        for i in range(4):
-            m = np.zeros((H, W), np.uint8)
-            y = 40 + (i * 97) % (H - 140)
-            x = 60 + (i * 211) % (W - 220)
-            m[y:y + 100, x:x + 160] = 1
-            ps.append(engine.PromptMask(prompt_id=i, frame_idx=0,
-                                        segmentation=m))
-        return ps
+    prompt_masks = []
+    for i in range(4):
+        m = np.zeros((H, W), np.uint8)
+        y = 40 + (i * 97) % (H - 140)
+        x = 60 + (i * 211) % (W - 220)
+        m[y:y + 100, x:x + 160] = 1
+        prompt_masks.append(m)
 
     states = [pred.init_state(make_frames(i)) for i in range(2)]
+    halves = [_dc.replace(st, num_frames=n_frames // 2, prompts={},
+                          output_tokens={}, obj_ids=[], banks=None,
+                          seed_buf=None, seed_frames=None, small_parts=None)
+              for st in states]
+    prop = PackedPropagator(pred)
+    pack = PackedFeatures.build(states)
+    cond_masks = np.zeros((8, size, size), np.float32)
+    for s in range(8):
+        cond_masks[s] = packed_engine._resize_prompt(
+            prompt_masks[s % 4], size)
 
-    def run_sequential():
+    import jax.numpy as jnp
+
+    def run_packed(t, collect=True):
+        plan = SlotPlan(video=np.asarray([0] * 4 + [1] * 4),
+                        cond=np.zeros(8, np.int64),
+                        length=np.full(8, t, np.int64))
         t0 = time.perf_counter()
-        for st in states:
-            engine.generate_tracks(
-                pred, st, make_prompts(), n_frames=n_frames, batch_size=4,
-                miou_thresh=2.0, n_max_tracks=4)
+        r = prop.run_round(pack, plan, cond_masks, collect=collect)
+        if not collect:  # force the chained scans (value fetch)
+            float(jnp.sum(r["banks"][2].astype(jnp.float32)))
         return time.perf_counter() - t0
 
-    def run_packed():
-        jobs = [packed_engine.VideoJob(
-            video_id=f"v{i}", state=st, prompts=make_prompts(),
-            n_frames=n_frames, batch_size=4, miou_thresh=2.0,
-            n_max_tracks=4) for i, st in enumerate(states)]
+    def run_seq(sts, output_mode="masks"):
         t0 = time.perf_counter()
-        packed_engine.generate_tracks_packed(pred, jobs)
+        for st in sts:
+            pred.reset_state(st)
+            for i, m in enumerate(prompt_masks):
+                pred.add_new_mask(st, 0, i, m)
+            for _ in pred.propagate_in_video(st, output_mode=output_mode):
+                pass
+            if output_mode == "none":
+                float(jnp.sum(st.banks[2].astype(jnp.float32)))
+            else:
+                pred.get_small_masklets(st)  # device-side assembly
         return time.perf_counter() - t0
 
-    run_sequential()  # warm/compile
-    run_packed()
-    obj_frames = 2 * 4 * n_frames
-    t_seq = min(run_sequential() for _ in range(repeats))
-    t_packed = min(run_packed() for _ in range(repeats))
+    def paired_slope(fn_full, fn_half, d_steps, full_steps):
+        best = float("inf")
+        for _ in range(repeats):
+            t_full = fn_full()
+            t_half = fn_half()
+            naive = t_full / full_steps
+            s = (t_full - t_half) / d_steps
+            if not (0.05 * naive < s <= naive):
+                s = naive  # degenerate pairing under link/host bursts
+            best = min(best, s)
+        return best
+
+    full_steps, half_steps = n_frames - 1, n_frames // 2 - 1
+    d = full_steps - half_steps
+    run_packed(n_frames)           # warm/compile (full + half schedules)
+    run_packed(n_frames // 2)
+    run_seq(states)
+    run_seq(halves)
+    slope_packed = paired_slope(lambda: run_packed(n_frames),
+                                lambda: run_packed(n_frames // 2),
+                                d, full_steps)
+    # sequential: one timed run covers BOTH videos (2 passes) -> the
+    # per-frame-step slope is t / (2 * steps)
+    slope_seq = paired_slope(lambda: run_seq(states),
+                             lambda: run_seq(halves),
+                             2 * d, 2 * full_steps)
+    # scan-only slopes: no output fetch — the compute-level utilization
+    # win (the masks-mode packed slope carries 2x the per-step fetch
+    # bytes over this sandbox's ~10 MB/s link; real hosts feed via PCIe)
+    run_packed(n_frames, collect=False)
+    run_packed(n_frames // 2, collect=False)
+    run_seq(states, "none")
+    run_seq(halves, "none")
+    slope_packed_scan = paired_slope(
+        lambda: run_packed(n_frames, collect=False),
+        lambda: run_packed(n_frames // 2, collect=False), d, full_steps)
+    slope_seq_scan = paired_slope(lambda: run_seq(states, "none"),
+                                  lambda: run_seq(halves, "none"),
+                                  2 * d, 2 * full_steps)
     return {
-        "sam2_seq_object_fps_ref_batching": round(obj_frames / t_seq, 2),
-        "sam2_packed_object_fps": round(obj_frames / t_packed, 2),
-        "sam2_packed_speedup": round(t_seq / t_packed, 2),
+        "sam2_seq_object_fps_ref_batching": round(4.0 / slope_seq, 2),
+        "sam2_packed_object_fps": round(8.0 / slope_packed, 2),
+        "sam2_packed_speedup": round(
+            (8.0 / slope_packed) / (4.0 / slope_seq), 2),
+        "sam2_packed_scan_speedup": round(
+            (8.0 / slope_packed_scan) / (4.0 / slope_seq_scan), 2),
     }
 
 

@@ -154,6 +154,21 @@ def reshape_hw(h: int, w: int) -> tuple[int, int]:
     return (540, 960) if h < w else (960, 540)
 
 
+def resize_nearest_np(x: "np.ndarray", out_hw: tuple[int, int]):
+    """Host-side nearest resize, bit-identical to
+    ``jax.image.resize(x, out_hw, method='nearest')`` (half-pixel-center
+    floor indexing; equality verified across shapes in tests). A nearest
+    resize is an index gather — routing it through the device costs an
+    upload + fetch round trip per mask (~6 MB fp32 at 1024^2), which
+    dominated prompt registration over this sandbox's host link."""
+    import numpy as np
+    oh, ow = out_hw
+    h, w = x.shape[-2:]
+    ri = np.floor((np.arange(oh) + 0.5) * h / oh).astype(np.int64)
+    ci = np.floor((np.arange(ow) + 0.5) * w / ow).astype(np.int64)
+    return x[..., ri[:, None], ci[None, :]]
+
+
 @functools.partial(jax.jit, static_argnames=("target_shape",))
 def reshape_masklet(masklet: jax.Array, target_shape: tuple[int, int]) -> jax.Array:
     """Bilinear-resize a (T, H, W) masklet and binarize at 0.5.

@@ -317,6 +317,40 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return out.reshape(b, h, lq, d)
 
 
+def fused_attention_lse(q: jax.Array, k: jax.Array, v: jax.Array,
+                        key_mask: Optional[jax.Array] = None,
+                        block_q: int = 128, block_k: int = 128):
+    """Forward-only fused attention that ALSO returns the per-row
+    logsumexp: (out (B, H, Lq, D), lse (B, H, Lq)).
+
+    The lse is what lets partial attentions over disjoint key shards
+    combine exactly (context parallelism, parallel/cp.py):
+    ``o = sum_i exp(lse_i - LSE) * o_i`` with ``LSE = logsumexp_i lse_i``.
+    Rows whose keys are ALL masked return o=0 and lse ~= -inf (weight 0
+    in the combine)."""
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    interpret = jax.default_backend() != "tpu"
+    block_q = min(block_q, max(_next_pow2(lq), 8))
+    block_k = min(block_k, max(_next_pow2(lk), 8))
+    q3 = q.reshape(b * h, lq, d)
+    k3 = k.reshape(b * h, lk, d)
+    v3 = v.reshape(b * h, lk, d)
+    q_p = _pad_to(q3, 1, block_q)
+    k_p = _pad_to(k3, 1, block_k)
+    v_p = _pad_to(v3, 1, block_k)
+    has_mask = key_mask is not None or k_p.shape[1] != lk
+    if key_mask is None:
+        mask3 = jnp.ones((b * h, lk), jnp.int32)
+    else:
+        mask3 = jnp.repeat(key_mask.astype(jnp.int32), h, axis=0)
+    mask_p = _pad_to(mask3, 1, block_k)[:, None, :]
+    out, lse = _fwd_impl(q_p, k_p, v_p, mask_p, block_q, block_k,
+                         interpret, has_mask)
+    return (out[:, :lq].reshape(b, h, lq, d),
+            lse[:, :lq, 0].reshape(b, h, lq))
+
+
 def _next_pow2(n: int) -> int:
     p = 1
     while p < n:

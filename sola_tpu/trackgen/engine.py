@@ -48,11 +48,10 @@ class TrackResult:
 
 
 def _resize_nearest(mask: np.ndarray, hw: tuple) -> np.ndarray:
-    import jax
-    import jax.numpy as jnp
-    out = jax.image.resize(jnp.asarray(mask, jnp.float32), hw,
-                           method="nearest")
-    return np.asarray(out)
+    # host-side; bit-identical to jax.image.resize(..., 'nearest') without
+    # the per-mask device upload+fetch round trip
+    return mask_ops.resize_nearest_np(
+        np.asarray(mask, np.float32), tuple(hw))
 
 
 def _batched_dedup_ious(masklet_small: np.ndarray,

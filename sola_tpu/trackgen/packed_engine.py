@@ -172,10 +172,9 @@ def generate_tracks_packed(predictor, jobs: Sequence[VideoJob],
 def _resize_prompt(mask: np.ndarray, size: int) -> np.ndarray:
     """Full-res prompt -> (size, size) binary, exactly like
     ``SAM2VideoPredictor.add_new_mask``."""
-    import jax
-    import jax.numpy as jnp
+    from sola_tpu.core.mask_ops import resize_nearest_np
     mask = np.asarray(mask)
     if mask.shape != (size, size):
-        mask = np.asarray(jax.image.resize(
-            jnp.asarray(mask, jnp.float32), (size, size), method="nearest"))
+        mask = resize_nearest_np(np.asarray(mask, np.float32),
+                                 (size, size))
     return (mask > 0.5).astype(np.float32)

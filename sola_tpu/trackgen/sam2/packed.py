@@ -37,8 +37,7 @@ import numpy as np
 from sola_tpu.trackgen.sam2.common import sine_position_encoding
 from sola_tpu.trackgen.sam2.model import SAM2Model
 from sola_tpu.trackgen.sam2.video import (InferenceState,
-                                          SAM2VideoPredictor,
-                                          _resize_logits)
+                                          SAM2VideoPredictor)
 
 
 def _bucket(n: int, step: int = 32) -> int:
@@ -125,7 +124,8 @@ class PackedPropagator:
             pix = feats["pix"][gidx].astype(cdt)
             s0 = feats["s0"][gidx].astype(cdt)
             s1 = feats["s1"][gidx].astype(cdt)
-            out = _apply(v, SAM2Model.mask_as_output, pix, s0, s1, masks)
+            out = _apply(v, SAM2Model.mask_as_output, pix, s0, s1,
+                         masks.astype(jnp.float32))
             mem = _apply(v, SAM2Model.encode_memory, pix,
                          out["high_res_masks"][:, 0])
             return mem.astype(cdt), out["obj_ptr"]
@@ -266,13 +266,18 @@ class PackedPropagator:
                 lens)
 
     def run_round(self, pack: PackedFeatures, plan: SlotPlan,
-                  cond_masks: np.ndarray) -> dict:
+                  cond_masks: np.ndarray, collect: bool = True) -> dict:
         """One packed round: consolidate conditioning frames, propagate
         forward then reverse, fetch per-slot binary masklets + tokens.
 
         ``cond_masks``: (b, S, S) float32 prompt masks (zeros for padding
         slots). Returns {"masks": {slot: {frame: (H, W) uint8}},
         "tokens": {slot: {frame: (d,) float32}}}.
+
+        ``collect=False`` skips the output fetch and returns
+        {"banks": <final carry banks>} — the scan compute only, for
+        benchmarking the compute/transfer split (callers must force
+        execution by fetching a value from the banks).
         """
         cfg, b = self.cfg, self.b
         pred = self.pred
@@ -282,8 +287,11 @@ class PackedPropagator:
             (pack.offsets[vid] + plan.cond).astype(np.int32))
 
         # ---- conditioning consolidation (slot 0 of the cond bank) ----
-        mem, cond_ptr = self._cond_step(v, pack.feats, cond_gidx,
-                                        jnp.asarray(cond_masks))
+        # ONE uint8 upload shared by the cond pass and the collect phase
+        # (fp32 was 4x the link bytes for the same 0/1 content)
+        cond_u8 = jnp.asarray(
+            (np.asarray(cond_masks) > 0.5).astype(np.uint8))
+        mem, cond_ptr = self._cond_step(v, pack.feats, cond_gidx, cond_u8)
         banks = list(pred._empty_banks())
         banks[0] = banks[0].at[:, 0].set(mem)
         banks[1] = banks[1].at[:, 0].set(True)
@@ -321,7 +329,9 @@ class PackedPropagator:
                                              gidx, fidx, active, True)
             passes[True] = (outs, fidx, active)
 
-        return self._collect(pack, plan, passes, cond_masks, cond_ptr)
+        if not collect:
+            return {"banks": carry[:8]}
+        return self._collect(pack, plan, passes, cond_u8, cond_ptr)
 
     def _run_segments(self, v, feats, carry, gidx, fidx, active, reverse):
         """Chain fixed-size scan segments (compile-bounded like the
@@ -339,83 +349,109 @@ class PackedPropagator:
 
     def _collect(self, pack: PackedFeatures, plan: SlotPlan, passes: dict,
                  cond_masks: np.ndarray, cond_ptr) -> dict:
-        """Fetch outputs: per-video-resolution bit-packed masks (two-phase:
-        all resize programs enqueue before any host fetch) + one token
+        """Fetch outputs: per-video-resolution bit-packed masks + one token
         fetch per pass; distribute to per-slot {frame: mask/token} dicts.
         Canonical small masklets stay DEVICE-RESIDENT ("smalls": per-slot
-        (T, sh, sw) bool arrays) — the engine's dedup/metrics consumers
-        never pay their host fetch."""
+        (T, sh, sw) bool arrays).
+
+        Dispatch discipline (the remote-relay round trip is ~100 ms, so
+        per-slot programs dominated the first version of this path):
+        * the conditioning frame goes through the SAME resize+threshold+
+          bit-pack program as tracked frames — one program per resolution
+          group instead of a fp32 logit fetch + reshape_masklet dispatch
+          per slot (numerics identical: linear resize of +-10 logits > 0,
+          small = binary resize > 0.5, video.py's "masks"-mode ops);
+        * all smalls of a group (cond + both passes) assemble into
+          frame-ordered per-slot arrays via ONE gather program;
+        * every device->host copy is queued before any blocking fetch."""
         from sola_tpu.core import mask_ops
         pred = self.pred
-        masks = {s: {} for s in range(self.b) if plan.video[s] >= 0}
-        tokens = {s: {} for s in range(self.b) if plan.video[s] >= 0}
-        cond_smalls = {}
-
-        # conditioning-frame outputs reproduce the sequential path: the
-        # prompt mask round-tripped through the model input size
-        cond_np = np.asarray(cond_ptr, np.float32)
-        for s in list(masks.keys()):
-            oh, ow = pack.orig_hws[plan.video[s]]
-            sh, sw = mask_ops.reshape_hw(oh, ow)
-            logits = jnp.asarray(cond_masks[s])[None] * 20.0 - 10.0
-            full_dev = _resize_logits(logits, (oh, ow))
-            cond_smalls[s] = mask_ops.reshape_masklet(
-                (full_dev > 0.0).astype(jnp.float32), (sh, sw)
-            ).astype(bool)[0]
-            full = np.asarray(full_dev)[0]
-            masks[s][int(plan.cond[s])] = (full > 0.0).astype(np.uint8)
-            tokens[s][int(plan.cond[s])] = cond_np[s]
+        active_slots = [s for s in range(self.b) if plan.video[s] >= 0]
+        masks = {s: {} for s in active_slots}
+        tokens = {s: {} for s in active_slots}
 
         # group slots by output resolution so each group is one static
         # resize+pack program
         groups = {}
-        for s in masks:
+        for s in active_slots:
             groups.setdefault(pack.orig_hws[plan.video[s]], []).append(s)
 
-        fetch = []
-        for reverse, (outs, fidx, active) in passes.items():
-            lo = jnp.concatenate([o[0] for o in outs], axis=0)
-            ptr = jnp.concatenate([o[1] for o in outs], axis=0)
-            for (oh, ow), slots in groups.items():
-                sh, sw = mask_ops.reshape_hw(oh, ow)
+        fetch = []        # (packed_dev, fidx (L,k), active (L,k), slots, ...)
+        group_parts = {}  # (oh, ow) -> [(small_dev, fidx, active), ...]
+        for (oh, ow), slots in groups.items():
+            sh, sw = mask_ops.reshape_hw(oh, ow)
+            sel = np.asarray(slots)
+            # conditioning outputs: the prompt mask round-tripped through
+            # the model input size, as one (1, k) pseudo-pass
+            # (cond_masks is the already-uploaded device uint8 buffer)
+            lo_cond = (cond_masks[sel].astype(jnp.float32)
+                       * 20.0 - 10.0)[None]
+            cpacked, csmall = pred._resize_pack_small(
+                lo_cond, oh, ow, sh, sw)
+            cfidx = plan.cond[sel][None, :].astype(np.int32)
+            call = np.ones((1, len(slots)), bool)
+            fetch.append((cpacked, cfidx, call, slots, oh, ow))
+            parts = [(csmall, cfidx, call)]
+            for reverse, (outs, fidx, active) in passes.items():
+                lo = jnp.concatenate([o[0] for o in outs], axis=0)
                 packed, small = pred._resize_pack_small(
-                    lo[:, np.asarray(slots)], oh, ow, sh, sw)
-                fetch.append((packed, small, ptr, fidx, active, slots,
+                    lo[:, sel], oh, ow, sh, sw)
+                fetch.append((packed, fidx[:, sel], active[:, sel], slots,
                               oh, ow))
+                parts.append((small, fidx[:, sel], active[:, sel]))
+            group_parts[(oh, ow)] = parts
+
         # queue all device->host copies before any blocking fetch: link
         # transfers overlap the host-side unpackbits/distribution loop
-        seen = set()
-        for packed, _, ptr, *_ in fetch:
+        ptrs = {}
+        for reverse, (outs, fidx, active) in passes.items():
+            p = jnp.concatenate([o[1] for o in outs], axis=0)
+            p.copy_to_host_async()
+            ptrs[reverse] = (p, fidx, active)
+        for packed, *_ in fetch:
             packed.copy_to_host_async()
-            if id(ptr) not in seen:
-                ptr.copy_to_host_async()
-                seen.add(id(ptr))
-        slot_small_parts = {s: [] for s in masks}
-        for packed, small, ptr, fidx, active, slots, oh, ow in fetch:
+
+        # smalls: one gather program per group assembles every slot's
+        # frame-ordered small masklet from the concatenated part rows
+        smalls = {}
+        for (oh, ow), slots in groups.items():
+            parts = group_parts[(oh, ow)]
+            sm = jnp.concatenate([p[0] for p in parts], axis=0)
+            k = len(slots)
+            t_max = int(max(plan.length[s] for s in slots))
+            rowmap = {}
+            off = 0
+            for small, fidx_g, act_g in parts:
+                for j in range(k):
+                    for t in np.nonzero(act_g[:, j])[0]:
+                        rowmap[(j, int(fidx_g[t, j]))] = off + int(t)
+                off += small.shape[0]
+            perm = np.zeros((k, t_max), np.int32)
+            for j, s in enumerate(slots):
+                for f in range(int(plan.length[s])):
+                    perm[j, f] = rowmap[(j, f)]
+            out_g = sm[jnp.asarray(perm), jnp.arange(k)[:, None]]
+            for j, s in enumerate(slots):
+                smalls[s] = out_g[j, :int(plan.length[s])]
+
+        # tokens: conditioning token + per-pass fetches
+        cond_np = np.asarray(cond_ptr, np.float32)
+        for s in active_slots:
+            tokens[s][int(plan.cond[s])] = cond_np[s]
+        for reverse, (p, fidx, active) in ptrs.items():
+            ptr_np = np.asarray(p, np.float32)
+            for s in active_slots:
+                for t in np.nonzero(active[:, s])[0]:
+                    tokens[s][int(fidx[t, s])] = ptr_np[t, s]
+
+        # full-resolution binary masks: unpack bits, distribute per slot
+        for packed, fidx_g, act_g, slots, oh, ow in fetch:
             packed_np = np.asarray(packed)
-            ptr_np = np.asarray(ptr, np.float32)
             L, k = packed_np.shape[:2]
             hi = np.unpackbits(
                 packed_np.reshape(L * k, -1), axis=1).reshape(
                     L, k, oh, -1)[..., :ow]
             for j, s in enumerate(slots):
-                steps = np.nonzero(active[:, s])[0]
-                if len(steps):
-                    slot_small_parts[s].append(
-                        (fidx[steps, s], small[np.asarray(steps), j]))
-                for t in steps:
-                    f = int(fidx[t, s])
-                    masks[s][f] = hi[t, j]
-                    tokens[s][f] = ptr_np[t, s]
-
-        smalls = {}
-        for s in masks:
-            parts = slot_small_parts[s]
-            fr = np.concatenate(
-                [[int(plan.cond[s])]] + [p[0] for p in parts]).astype(int)
-            dev = jnp.concatenate(
-                [cond_smalls[s][None]] + [p[1] for p in parts], axis=0)
-            perm = np.zeros(len(fr), np.int64)
-            perm[fr] = np.arange(len(fr))
-            smalls[s] = dev[jnp.asarray(perm)]
+                for t in np.nonzero(act_g[:, j])[0]:
+                    masks[s][int(fidx_g[t, j])] = hi[t, j]
         return {"masks": masks, "tokens": tokens, "smalls": smalls}

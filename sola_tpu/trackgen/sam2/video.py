@@ -112,9 +112,29 @@ class SAM2VideoPredictor:
                            normalize_image(x.astype(jnp.uint8)))
 
         self._encode_from_raw = jax.jit(_encode_from_raw)
+
+        # whole-video encode in ONE program: lax.map over fixed-size chunks
+        # of device-resident raw frames. The per-chunk dispatch path above
+        # exists to overlap host uploads with compute; when frames are
+        # already on device (re-encode, packed pipelines, real-hardware
+        # DMA feeds) one program avoids a dispatch round trip per chunk
+        def _encode_all_from_raw(v, raw):  # (n_chunks, chunk, H, W, 3) u8
+            def enc(chunk):
+                f = _encode_from_raw(v, chunk)
+                return f["pix"], f["s0"], f["s1"]
+            pix, s0, s1 = jax.lax.map(enc, raw)
+            return {"pix": pix.reshape((-1,) + pix.shape[2:]),
+                    "s0": s0.reshape((-1,) + s0.shape[2:]),
+                    "s1": s1.reshape((-1,) + s1.shape[2:])}
+
+        self._encode_all_from_raw = jax.jit(_encode_all_from_raw)
+        # prompt masks cross the link as uint8 (the fp32 (obj_batch, S, S)
+        # buffer is 33 MB at obj_batch=8/S=1024 — 4x the bytes for the
+        # same 0/1 content); the cast to float happens in-program
         self._mask_as_output = jax.jit(
             lambda v, pix, s0, s1, m: _japply(
-                v, SAM2Model.mask_as_output, pix, s0, s1, m))
+                v, SAM2Model.mask_as_output, pix, s0, s1,
+                m.astype(jnp.float32)))
         self._encode_memory = jax.jit(
             lambda v, pix, m: _japply(v, SAM2Model.encode_memory, pix, m))
 
@@ -289,6 +309,20 @@ class SAM2VideoPredictor:
         return InferenceState(num_frames=t, obj_batch=self.obj_batch,
                               features=features, pos=pos, orig_hw=orig_hw)
 
+    def encode_frames_device(self, raw_all: jax.Array) -> dict:
+        """(T, H, W, 3) uint8 DEVICE frames -> stacked feature dict in ONE
+        XLA program (lax.map over encode_chunk-sized chunks). T must be a
+        multiple of ``encode_chunk``; pad with repeated frames and slice
+        if needed. Use when frames are already device-resident — the
+        chunked ``init_state`` path pays a dispatch per chunk to overlap
+        host uploads instead."""
+        t = raw_all.shape[0]
+        ck = self.encode_chunk
+        assert t % ck == 0, (t, ck)
+        raw = raw_all.reshape((t // ck, ck) + raw_all.shape[1:])
+        f = self._encode_all_from_raw(self.compute_variables, raw)
+        return {k: v.astype(self.feature_dtype) for k, v in f.items()}
+
     def reset_state(self, state: InferenceState) -> None:
         state.banks = None
         state.prompts = {}
@@ -307,15 +341,16 @@ class SAM2VideoPredictor:
         mask = np.asarray(mask)
         orig_mask = (mask > 0.5).astype(np.float32)
         if mask.shape != (s, s):
-            m = jax.image.resize(jnp.asarray(mask, jnp.float32), (s, s),
-                                 method="nearest")
-            mask = np.asarray(m)
+            from sola_tpu.core.mask_ops import resize_nearest_np
+            mask = resize_nearest_np(np.asarray(mask, np.float32), (s, s))
         mask = (mask > 0.5).astype(np.float32)
         state.prompts.setdefault(int(frame_idx), {})[int(obj_id)] = mask
         if obj_id not in state.obj_ids:
             state.obj_ids.append(obj_id)
         if orig_mask.shape == state.orig_hw:
-            out_logits = jnp.asarray(orig_mask)[None] * 20.0 - 10.0
+            # host array (consumers np.asarray it or discard it — an
+            # eager device constant would upload ~1.6 MB fp32 per prompt)
+            out_logits = orig_mask[None] * 20.0 - 10.0
         else:
             out_logits = _resize_logits(jnp.asarray(mask)[None] * 20.0 - 10.0,
                                         state.orig_hw)
@@ -352,11 +387,11 @@ class SAM2VideoPredictor:
     def _prompt_masks(self, state: InferenceState,
                       frame_idx: int) -> np.ndarray:
         s = self.cfg.image_size
-        masks = np.zeros((self.obj_batch, s, s), np.float32)
+        masks = np.zeros((self.obj_batch, s, s), np.uint8)
         for slot, obj_id in enumerate(state.obj_ids[:self.obj_batch]):
             m = state.prompts.get(frame_idx, {}).get(obj_id)
             if m is not None:
-                masks[slot] = m
+                masks[slot] = m > 0.5
         return masks
 
     def _run_cond_frames(self, state: InferenceState) -> None:
@@ -420,7 +455,8 @@ class SAM2VideoPredictor:
         # conditioning-frame output: the consolidated prompt (upstream yields
         # the prompt-based output for cond frames)
         prompt_logits = jnp.asarray(
-            self._prompt_masks(state, cond_idx)) * 20.0 - 10.0
+            self._prompt_masks(state, cond_idx)).astype(
+                jnp.float32) * 20.0 - 10.0
         cond_dev = _resize_logits(prompt_logits[:n_obj], state.orig_hw)
         cond_out = np.asarray(cond_dev)
         if output_mode == "masks":

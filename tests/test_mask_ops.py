@@ -127,3 +127,25 @@ def test_reshape_orientation_rule():
     assert mask_ops.reshape_masklet_auto(tall).shape == (2, 960, 540)
     wide = np.zeros((2, 30, 50), dtype=np.float32)
     assert mask_ops.reshape_masklet_auto(wide).shape == (2, 540, 960)
+
+
+def test_resize_nearest_np_matches_jax():
+    """Host nearest resize is bit-identical to jax.image.resize nearest
+    (it replaces a per-mask device round trip on the prompt path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sola_tpu.core.mask_ops import resize_nearest_np
+    rng = np.random.default_rng(0)
+    for (h, w, oh, ow) in [(480, 854, 1024, 1024), (7, 13, 64, 64),
+                           (100, 100, 37, 91), (3, 5, 8, 8)]:
+        x = rng.random((h, w)).astype(np.float32)
+        a = np.asarray(jax.image.resize(jnp.asarray(x), (oh, ow),
+                                        method="nearest"))
+        b = resize_nearest_np(x, (oh, ow))
+        assert np.array_equal(a, b), (h, w, oh, ow)
+    # batched leading axis
+    x = rng.random((3, 20, 30)).astype(np.float32)
+    a = np.asarray(jax.image.resize(jnp.asarray(x), (3, 8, 9),
+                                    method="nearest"))
+    assert np.array_equal(a, resize_nearest_np(x, (8, 9)))

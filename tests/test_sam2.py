@@ -147,3 +147,17 @@ def test_video_two_objects(video_predictor):
         assert logits.shape == (2, 1, 64, 64)
     tokens = pred.get_output_tokens(state)
     assert tokens[1].shape == (2, pred.cfg.d_model)
+
+
+def test_encode_frames_device_matches_init_state(video_predictor):
+    """encode_frames_device (one lax.map program) == the chunked
+    init_state path, feature for feature."""
+    pred = video_predictor
+    frames = make_video(t=4)
+    state = pred.init_state(frames)
+    f2 = pred.encode_frames_device(jnp.asarray(np.stack(frames)))
+    for k in ("pix", "s0", "s1"):
+        np.testing.assert_allclose(
+            np.asarray(state.features[k], np.float32),
+            np.asarray(f2[k], np.float32), atol=1e-6,
+            err_msg=k)
