@@ -556,20 +556,35 @@ def bench_gdino(n_images: int = 3) -> dict:
     from sola_tpu.trackgen.gdino.convert import build_gdino_from_checkpoint
     from sola_tpu.trackgen.gdino.model import GroundingModel
 
+    import jax.numpy as jnp
+
     model, variables, _ = build_gdino_from_checkpoint(None)
-    gm = GroundingModel(model, variables)
     rng = np.random.default_rng(0)
     imgs = [rng.integers(0, 255, (480, 854, 3), dtype=np.uint8)
             for _ in range(n_images)]
-    gm.get_boxes(imgs[0], "a red object in the scene.")  # compile
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        for img in imgs:
-            gm.get_boxes(img, "a red object in the scene.")
-        best = min(best, (time.perf_counter() - t0) / n_images)
-    return {"gdino_s_per_image": round(best, 3),
-            "gdino_vs_a100_0p1s": round(0.1 / best, 2)}
+
+    def run(gm):
+        gm.get_boxes(imgs[0], "a red object in the scene.")  # compile
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for img in imgs:
+                gm.get_boxes(img, "a red object in the scene.")
+            best = min(best, (time.perf_counter() - t0) / n_images)
+        return best
+
+    # fp32 = upstream parity (the reference runs GDINO without autocast);
+    # bf16 = the TPU production mode (prompts_gdino --bf16)
+    best = run(GroundingModel(model, variables))
+    out = {"gdino_s_per_image": round(best, 3),
+           "gdino_vs_a100_0p1s": round(0.1 / best, 2)}
+    try:
+        best16 = run(GroundingModel(model, variables,
+                                    compute_dtype=jnp.bfloat16))
+        out["gdino_bf16_s_per_image"] = round(best16, 3)
+    except Exception as e:
+        out["gdino_bf16_error"] = f"{type(e).__name__}: {e}"
+    return out
 
 
 def bench_roberta(n_batches: int = 4, batch: int = 8) -> dict:

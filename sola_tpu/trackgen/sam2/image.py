@@ -39,9 +39,12 @@ class SAM2ImagePredictor:
         self._orig_hw = None
 
         # variables are explicit jit args (closure capture would bake the
-        # parameter tree into the program as constants)
+        # parameter tree into the program as constants); the normalized
+        # image is cast to compute_dtype so the Hiera runs at the MXU bf16
+        # rate (fp32 input would promote the whole backbone)
+        enc_dt = compute_dtype
         self._encode = jax.jit(lambda v, img: model.apply(
-            v, img, method=SAM2Model.encode_image))
+            v, img.astype(enc_dt), method=SAM2Model.encode_image))
 
         # raw uint8 in: 1-byte/pixel upload + one dispatch (fp32 frames
         # would ship 4x the bytes over the host link)
@@ -50,7 +53,7 @@ class SAM2ImagePredictor:
         def _encode_raw(v, raw):  # (H, W, 3) uint8
             x = jax.image.resize(raw.astype(jnp.float32), (s_, s_, 3),
                                  method="linear")
-            img = normalize_image(x.astype(jnp.uint8))
+            img = normalize_image(x.astype(jnp.uint8)).astype(enc_dt)
             return model.apply(v, img[None], method=SAM2Model.encode_image)
 
         self._encode_raw = jax.jit(_encode_raw)

@@ -96,8 +96,15 @@ class SAM2VideoPredictor:
         def _japply(v, method, *args):
             return model.apply(v, *args, method=method)
 
+        # the normalized image is cast to compute_dtype BEFORE the encoder:
+        # bf16 params x fp32 input would promote the whole Hiera to fp32
+        # compute (measured 57 ms/frame; bf16 is the MXU rate and matches
+        # the reference's process-global autocast, generate_tokens_grid.py:
+        # 84-88)
+        enc_dt = self.compute_dtype
         self._encode_image = jax.jit(
-            lambda v, img: _japply(v, SAM2Model.encode_image, img))
+            lambda v, img: _japply(v, SAM2Model.encode_image,
+                                   img.astype(enc_dt)))
 
         # raw uint8 frames in, features out: ONE dispatch per chunk and a
         # 1-byte/pixel upload (fp32 frames would ship 4x the bytes over the
@@ -109,7 +116,8 @@ class SAM2VideoPredictor:
                 raw.astype(jnp.float32),
                 (raw.shape[0], s_, s_, 3), method="linear")
             return _japply(v, SAM2Model.encode_image,
-                           normalize_image(x.astype(jnp.uint8)))
+                           normalize_image(x.astype(jnp.uint8))
+                           .astype(enc_dt))
 
         self._encode_from_raw = jax.jit(_encode_from_raw)
 

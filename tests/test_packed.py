@@ -279,3 +279,34 @@ def test_gdino_expressions_packed(tmp_path, predictor):
             str(pk_root), "gdino_tracks", "mevis", "valid_u", "vid0",
             expression_id=expr)
         assert len(ra) == len(rb) >= 1
+
+
+def test_run_round_collect_false_banks(predictor):
+    """collect=False returns the same final banks as a full round (the
+    bench's scan-only mode must run the identical compute)."""
+    from sola_tpu.trackgen.sam2.packed import (PackedFeatures,
+                                               PackedPropagator, SlotPlan)
+
+    T, hw = 5, (48, 64)
+    frames = make_video(T, hw, seed=9)
+    state = predictor.init_state(frames)
+    prop = PackedPropagator(predictor)
+    pack = PackedFeatures.build([state])
+    size = predictor.cfg.image_size
+    cond_masks = np.zeros((4, size, size), np.float32)
+    cond_masks[0] = packed_engine._resize_prompt(
+        box_mask(hw, 6, 20, 4, 14), size)
+    plan = SlotPlan(video=np.asarray([0, -1, -1, -1]),
+                    cond=np.zeros(4, np.int64),
+                    length=np.asarray([T, 1, 1, 1]))
+    full = prop.run_round(pack, plan, cond_masks, collect=True)
+    assert 0 in full["masks"] and len(full["masks"][0]) == T
+    scan_only = prop.run_round(pack, plan, cond_masks, collect=False)
+    assert set(scan_only) == {"banks"}
+    ring = np.asarray(scan_only["banks"][2], np.float32)
+    assert np.isfinite(ring).all()
+    # deterministic: the scan compute is identical run to run (collect
+    # only adds output-fetch programs on top of the same scans)
+    again = prop.run_round(pack, plan, cond_masks, collect=False)
+    np.testing.assert_array_equal(
+        ring, np.asarray(again["banks"][2], np.float32))
