@@ -197,10 +197,12 @@ class BiMultiHeadAttention(nn.Module):
             attn = jnp.where(text_pad_mask[:, None, None, :], NEG_INF, attn)
         vision_attn = jax.nn.softmax(attn, axis=-1)
 
-        v_out = jnp.einsum("bhit,bthd->bihd", vision_attn, tv,
-                           preferred_element_type=jnp.float32)
-        t_out = jnp.einsum("bhti,bihd->bthd", text_attn, vv,
-                           preferred_element_type=jnp.float32)
+        # probs cast to the value dtype before PV (torch-autocast semantics:
+        # the bmm runs at the value dtype; accumulation stays fp32)
+        v_out = jnp.einsum("bhit,bthd->bihd", vision_attn.astype(tv.dtype),
+                           tv, preferred_element_type=jnp.float32)
+        t_out = jnp.einsum("bhti,bihd->bthd", text_attn.astype(vv.dtype),
+                           vv, preferred_element_type=jnp.float32)
         v_out = nn.Dense(self.d_model, name="out_vision_proj")(
             v_out.reshape(b, li, e).astype(vision.dtype))
         t_out = nn.Dense(self.d_model, name="out_text_proj")(
@@ -439,9 +441,12 @@ class GroundingDINO(nn.Module):
 
         flat = jnp.concatenate(
             [v.reshape(b, -1, cfg.d_model) for v in levels], axis=1)
+        # PEs are built in fp32; cast to the feature dtype at the join so a
+        # bf16 run stays bf16 through the encoder (fp32 + bf16 promotes,
+        # which would silently run every enc/dec matmul at the fp32 rate)
         pos_flat = jnp.concatenate(
             [(p + level_embed[i]).reshape(b, -1, cfg.d_model)
-             for i, p in enumerate(pos_levels)], axis=1)
+             for i, p in enumerate(pos_levels)], axis=1).astype(flat.dtype)
         valid_flat = jnp.concatenate([m.reshape(b, -1) for m in masks],
                                      axis=1)
 
@@ -469,7 +474,7 @@ class GroundingDINO(nn.Module):
         # text position embedding for the enhancer
         text_pos = get_sine_pos_embed(
             position_ids[..., None].astype(jnp.float32), cfg.d_model,
-            exchange_xy=False)
+            exchange_xy=False).astype(txt.dtype)
 
         # ---- feature enhancer ----
         for i in range(cfg.enc_layers):
@@ -539,7 +544,7 @@ class GroundingDINO(nn.Module):
                          * jnp.concatenate([valid_ratios, valid_ratios],
                                            -1)[:, None])
             query_pos = ref_point_head(get_sine_pos_embed(
-                ref_input[:, :, 0, :], cfg.d_model // 2))
+                ref_input[:, :, 0, :], cfg.d_model // 2)).astype(tgt.dtype)
             tgt = DecoderLayer(cfg, name=f"dec_{i}")(
                 tgt, query_pos, ref_input, flat, txt, spatial_shapes,
                 valid_flat, token_mask)
@@ -642,10 +647,14 @@ class GroundingModel:
                                       self.cfg.text.pad_token_id)
         self.tokenizer = tokenizer
         self.max_text_len = min(max_text_len, self.cfg.max_text_len)
-        # variables as explicit jit args (no closure-baked constants)
+        # variables as explicit jit args (no closure-baked constants); the
+        # canvas is cast to compute_dtype at the program edge — fp32 images
+        # against bf16 params would promote the whole Swin trunk to fp32
+        cdt = compute_dtype
         self._forward = jax.jit(
             lambda v, img, pmask, ids, tmask, smask, pids: model.apply(
-                v, img, pmask, ids, tmask, smask, pids))
+                v, img if cdt is None else img.astype(cdt), pmask, ids,
+                tmask, smask, pids))
 
     def _tokenize(self, text: str):
         if self.hf_tokenizer:

@@ -41,7 +41,13 @@ def test_dryrun_multichip_self_provisions_devices():
         f for f in env.get("XLA_FLAGS", "").split()
         if "xla_force_host_platform_device_count" not in f)
     env["JAX_PLATFORMS"] = "cpu"
-    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    # drop the axon relay plugin from the subprocess: its sitecustomize
+    # register() performs relay I/O at import time, and a down relay turns
+    # this CPU-only test into a 600 s hang (observed when the tunnel died)
+    env["PYTHONPATH"] = repo + os.pathsep + os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and ".axon_site" not in p)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     code = (
         f"import sys; sys.path.insert(0, {repo!r})\n"
         "import jax\n"
