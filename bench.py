@@ -22,6 +22,7 @@ import json
 import os
 import sys
 import time
+from typing import Optional
 
 import numpy as np
 
@@ -638,9 +639,40 @@ def _with_timeout(fn, seconds: int):
         signal.signal(signal.SIGALRM, old)
 
 
+def _probe_backend(budget_s: int = 300) -> Optional[str]:
+    """Fail fast when the device backend is unreachable (the tunneled
+    relay can die mid-session; without this every section would burn its
+    full timeout before the error surfaced). Probes in a SUBPROCESS —
+    a dead relay can hang the first device op inside native code, where
+    SIGALRM never fires. Returns an error string or None. The tiny
+    matmul compiles in seconds even through the relay."""
+    import subprocess
+
+    code = ("import jax.numpy as jnp\n"
+            "x = jnp.ones((128, 128), jnp.float32)\n"
+            "print('probe-ok', float(jnp.sum(x @ x)))\n")
+    try:
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, text=True,
+                              timeout=budget_s)
+    except subprocess.TimeoutExpired:
+        return f"device probe timed out after {budget_s}s"
+    if proc.returncode != 0 or "probe-ok" not in proc.stdout:
+        return f"device probe failed: {proc.stderr.strip()[-500:]}"
+    return None
+
+
 def main() -> None:
     metrics: dict = {}
     errors: dict = {}
+    probe_err = _probe_backend()
+    if probe_err is not None:
+        print(json.dumps({
+            "metric": "sam2_propagation_object_fps", "value": None,
+            "unit": "object-frames/s", "vs_baseline": None,
+            "errors": {"backend": f"device backend unreachable: {probe_err}"},
+            "metrics": {}}))
+        return
     only = os.environ.get("SOLA_BENCH_ONLY")  # comma list, e.g. "trackgen"
     only = set(only.split(",")) if only else None
     for name, fn, budget in [("selection", bench_selection, 1200),
