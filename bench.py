@@ -574,15 +574,33 @@ def bench_gdino(n_images: int = 3) -> dict:
             best = min(best, (time.perf_counter() - t0) / n_images)
         return best
 
+    def run_batched(gm, n_expr=8):
+        texts = [f"object number {i} in the scene." for i in range(n_expr)]
+        gm.get_boxes_many(imgs[0], texts)  # compile
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for img in imgs:
+                gm.get_boxes_many(img, texts)
+            best = min(best, (time.perf_counter() - t0)
+                       / (n_images * n_expr))
+        return best
+
     # fp32 = upstream parity (the reference runs GDINO without autocast);
-    # bf16 = the TPU production mode (prompts_gdino --bf16)
+    # bf16 = the TPU production mode (prompts_gdino --bf16); batched =
+    # all of a frame's expressions in one forward (one Swin trunk, the
+    # text-fused stack batched) — the unit comparable to the reference's
+    # per-(frame, expression) forward is s/expression
     best = run(GroundingModel(model, variables))
     out = {"gdino_s_per_image": round(best, 3),
            "gdino_vs_a100_0p1s": round(0.1 / best, 2)}
     try:
-        best16 = run(GroundingModel(model, variables,
-                                    compute_dtype=jnp.bfloat16))
+        gm16 = GroundingModel(model, variables, compute_dtype=jnp.bfloat16)
+        best16 = run(gm16)
         out["gdino_bf16_s_per_image"] = round(best16, 3)
+        b8 = run_batched(gm16)
+        out["gdino_bf16_batched8_s_per_expr"] = round(b8, 3)
+        out["gdino_batched_vs_a100_0p1s"] = round(0.1 / b8, 2)
     except Exception as e:
         out["gdino_bf16_error"] = f"{type(e).__name__}: {e}"
     return out

@@ -385,6 +385,14 @@ class GroundingDINO(nn.Module):
         Returns {"pred_logits": (B, nq, max_text_len) (-inf padded),
         "pred_boxes": (B, nq, 4) cxcywh in [0,1], "encoder_text",
         "init_reference_points"}.
+
+        Expression batching: when the text batch E exceeds the image batch
+        (allowed only for image batch 1), the vision backbone runs ONCE and
+        its features broadcast to E before the fused encoder — E
+        expressions of one frame cost one Swin trunk + one batched
+        encoder/decoder program instead of E full forwards (the reference
+        pays the full model per (frame, expression),
+        prompt_generator.py:132-140).
         """
         cfg = self.cfg
         b = images.shape[0]
@@ -431,6 +439,17 @@ class GroundingDINO(nn.Module):
             return pixel_mask[:, yi][:, :, xi]
 
         masks = [level_mask(v) for v in levels]
+
+        # expression batching: one backbone pass fans out to E text rows
+        bt = input_ids.shape[0]
+        if bt != b:
+            assert b == 1, "text batch > image batch requires image batch 1"
+            levels = [jnp.broadcast_to(v, (bt,) + v.shape[1:])
+                      for v in levels]
+            masks = [jnp.broadcast_to(m, (bt,) + m.shape[1:])
+                     for m in masks]
+            b = bt
+
         level_embed = self.param("level_embed", nn.initializers.normal(1.0),
                                  (cfg.n_levels, cfg.d_model))
         pos_levels = [
@@ -683,33 +702,56 @@ class GroundingModel:
                   text_threshold: float = 0.25) -> list[dict]:
         """Returns [{"bbox": xyxy pixels, "phrase": str,
         "token_score": [...]}] (prompt_generator.py:133-160 semantics)."""
+        return self.get_boxes_many(image, [text], box_threshold,
+                                   text_threshold)[0]
+
+    def get_boxes_many(self, image: np.ndarray, texts: Sequence[str],
+                       box_threshold: float = 0.2,
+                       text_threshold: float = 0.25) -> list[list[dict]]:
+        """All expressions of one frame in ONE forward: the Swin trunk runs
+        once and the text-fused encoder/decoder batch over expressions
+        (padded to a bucketed batch so repacking reuses programs). Returns
+        one pred list per text; numerics identical to per-text
+        ``get_boxes`` (the batch axis mixes nothing)."""
         h, w = image.shape[:2]
         canvas, pmask, _ = preprocess_image(image, self.cfg)
-        ids, tmask, smask, pids = self._tokenize(text)
+        toks = [self._tokenize(t) for t in texts]
+        e = len(toks)
+        e_pad = max(((e + 3) // 4) * 4, 1) if e != 1 else 1
+        toks = toks + [toks[0]] * (e_pad - e)
+        ids = np.concatenate([t[0] for t in toks], axis=0)
+        tmask = np.concatenate([t[1] for t in toks], axis=0)
+        smask = np.concatenate([t[2] for t in toks], axis=0)
+        pids = np.concatenate([t[3] for t in toks], axis=0)
         out = self._forward(self.compute_variables, canvas[None], pmask[None],
                             jnp.asarray(ids), jnp.asarray(tmask),
                             jnp.asarray(smask), jnp.asarray(pids))
-        logits = np.asarray(jax.nn.sigmoid(out["pred_logits"][0]),
-                            dtype=np.float32)
-        logits = np.where(np.isfinite(logits), logits, 0.0)
-        boxes = np.asarray(out["pred_boxes"][0], dtype=np.float32)
-        n_tokens = int(tmask.sum())
-        keep = logits.max(axis=-1) > box_threshold
-        preds = []
-        for i in np.nonzero(keep)[0]:
-            cx, cy, bw, bh = boxes[i]
-            bbox = np.asarray([
-                (cx - bw / 2) * w, (cy - bh / 2) * h,
-                (cx + bw / 2) * w, (cy + bh / 2) * h,
-            ], np.float32)
-            token_mask = logits[i, :n_tokens] > text_threshold
-            phrase = self._phrase_from_posmap(ids[0], token_mask, text)
-            preds.append({
-                "phrase": phrase,
-                "bbox": bbox,
-                "token_score": logits[i, :n_tokens].tolist(),
-            })
-        return preds
+        logits_all = np.asarray(jax.nn.sigmoid(out["pred_logits"]),
+                                dtype=np.float32)
+        logits_all = np.where(np.isfinite(logits_all), logits_all, 0.0)
+        boxes_all = np.asarray(out["pred_boxes"], dtype=np.float32)
+        results = []
+        for ti, text in enumerate(texts):
+            logits = logits_all[ti]
+            boxes = boxes_all[ti]
+            n_tokens = int(tmask[ti].sum())
+            keep = logits.max(axis=-1) > box_threshold
+            preds = []
+            for i in np.nonzero(keep)[0]:
+                cx, cy, bw, bh = boxes[i]
+                bbox = np.asarray([
+                    (cx - bw / 2) * w, (cy - bh / 2) * h,
+                    (cx + bw / 2) * w, (cy + bh / 2) * h,
+                ], np.float32)
+                token_mask = logits[i, :n_tokens] > text_threshold
+                phrase = self._phrase_from_posmap(ids[ti], token_mask, text)
+                preds.append({
+                    "phrase": phrase,
+                    "bbox": bbox,
+                    "token_score": logits[i, :n_tokens].tolist(),
+                })
+            results.append(preds)
+        return results
 
     def _phrase_from_posmap(self, input_ids: np.ndarray,
                             token_mask: np.ndarray, text: str) -> str:

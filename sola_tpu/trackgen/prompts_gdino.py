@@ -52,11 +52,20 @@ class PromptGenerator:
         "token_score", "sam2_mask", "mask_score", "stability_score"}]}}."""
         outputs = {}
         self.sam2.set_image(image)
-        for text_idx, raw_text in enumerate(raw_texts):
-            text = normalize_expression(raw_text)
-            preds = self.grounding.get_boxes(
-                image, text, box_threshold=self.box_threshold,
+        texts = [normalize_expression(t) for t in raw_texts]
+        if hasattr(self.grounding, "get_boxes_many"):
+            # one forward for ALL expressions of the frame: the Swin trunk
+            # runs once, the text-fused encoder/decoder batch over
+            # expressions (the reference pays a full GDINO forward per
+            # (frame, expression), prompt_generator.py:132-140)
+            preds_many = self.grounding.get_boxes_many(
+                image, texts, box_threshold=self.box_threshold,
                 text_threshold=self.text_threshold)
+        else:
+            preds_many = [self.grounding.get_boxes(
+                image, t, box_threshold=self.box_threshold,
+                text_threshold=self.text_threshold) for t in texts]
+        for text_idx, (text, preds) in enumerate(zip(texts, preds_many)):
             outputs[str(text_idx)] = {"expression": text, "preds": preds}
             if not preds:
                 continue

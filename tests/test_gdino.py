@@ -137,3 +137,28 @@ def test_grounding_model_bf16_matches_fp32(tiny_gdino):
     err = np.abs(b16 - b32).max(axis=1)
     assert (err < 3.0).mean() >= 0.8, err
     assert np.median(err) < 1.0, err
+
+
+def test_get_boxes_many_matches_sequential(tiny_gdino):
+    """Expression-batched forward (one Swin trunk, E-batched encoder/
+    decoder) must reproduce the per-text get_boxes results: the batch axis
+    mixes nothing (the BiMHA global-max shift cancels in softmax), and the
+    padding rows of the expression bucket are discarded."""
+    (model, variables), cfg = tiny_gdino
+    gm = GroundingModel(model, variables)
+    rng = np.random.default_rng(7)
+    image = rng.integers(0, 255, (48, 72, 3), dtype=np.uint8)
+    texts = ["the red car.", "a dog running.", "the tallest person."]
+
+    batched = gm.get_boxes_many(image, texts, box_threshold=-1.0)
+    assert len(batched) == len(texts)
+    for text, got in zip(texts, batched):
+        ref = gm.get_boxes(image, text, box_threshold=-1.0)
+        assert len(ref) == len(got)
+        rb = np.stack([p["bbox"] for p in ref])
+        gb = np.stack([p["bbox"] for p in got])
+        np.testing.assert_allclose(gb, rb, atol=1e-3)
+        for pr, pg in zip(ref, got):
+            assert pr["phrase"] == pg["phrase"]
+            np.testing.assert_allclose(pg["token_score"], pr["token_score"],
+                                       atol=1e-4)
