@@ -705,14 +705,27 @@ class GroundingModel:
         return self.get_boxes_many(image, [text], box_threshold,
                                    text_threshold)[0]
 
+    # expression-batch cap: the fused encoder's deformable buffers scale
+    # with E x ~20k vision tokens; 8 keeps peak HBM bounded while still
+    # amortizing the Swin trunk and the dispatch round trip
+    max_expr_batch: int = 8
+
     def get_boxes_many(self, image: np.ndarray, texts: Sequence[str],
                        box_threshold: float = 0.2,
                        text_threshold: float = 0.25) -> list[list[dict]]:
         """All expressions of one frame in ONE forward: the Swin trunk runs
         once and the text-fused encoder/decoder batch over expressions
-        (padded to a bucketed batch so repacking reuses programs). Returns
-        one pred list per text; numerics identical to per-text
-        ``get_boxes`` (the batch axis mixes nothing)."""
+        (padded to a bucketed batch so repacking reuses programs; chunked
+        at ``max_expr_batch``). Returns one pred list per text; numerics
+        identical to per-text ``get_boxes`` (the batch axis mixes
+        nothing)."""
+        cap = self.max_expr_batch
+        if len(texts) > cap:
+            out = []
+            for s in range(0, len(texts), cap):
+                out.extend(self.get_boxes_many(
+                    image, texts[s:s + cap], box_threshold, text_threshold))
+            return out
         h, w = image.shape[:2]
         canvas, pmask, _ = preprocess_image(image, self.cfg)
         toks = [self._tokenize(t) for t in texts]

@@ -328,14 +328,28 @@ class SAM2ImagePredictor:
             labels = np.concatenate([p[1] for p in prompts], axis=1)
             assert coords.shape[0] == n
 
+        # bucket-pad the prompt axis: the jitted program is specialized on
+        # N, and production box counts vary per (frame, expression) — an
+        # unpadded call would compile a fresh program for every distinct
+        # count (minutes each through a compile relay). Pad by repeating
+        # the last prompt row to the next multiple of 4, slice results.
+        n_real = coords.shape[0]
+        n_pad = ((n_real + 3) // 4) * 4
+        if n_pad != n_real:
+            reps = (n_pad - n_real, 1, 1)
+            coords = np.concatenate(
+                [coords, np.tile(coords[-1:], reps)], axis=0)
+            labels = np.concatenate(
+                [labels, np.tile(labels[-1:], reps[:2])], axis=0)
+
         f = self._feats
         fn = self._predict_multi if multimask_output else self._predict_single
         out = fn(self.compute_variables, f["pix"], f["s0"], f["s1"],
                  jnp.asarray(coords), jnp.asarray(labels))
-        high = _resize_masks(out["high_res_masks"], self._orig_hw)
+        high = _resize_masks(out["high_res_masks"][:n_real], self._orig_hw)
         masks = np.asarray(high > 0.0)
-        return masks, np.asarray(out["ious"]), np.asarray(
-            out["low_res_masks"])
+        return (masks, np.asarray(out["ious"][:n_real]),
+                np.asarray(out["low_res_masks"][:n_real]))
 
 
 def unpack_masks(packed: np.ndarray, h: int, w: int) -> np.ndarray:

@@ -162,3 +162,20 @@ def test_get_boxes_many_matches_sequential(tiny_gdino):
             assert pr["phrase"] == pg["phrase"]
             np.testing.assert_allclose(pg["token_score"], pr["token_score"],
                                        atol=1e-4)
+
+
+def test_get_boxes_many_chunked(tiny_gdino):
+    """Above max_expr_batch the batch chunks; results must be unchanged."""
+    (model, variables), cfg = tiny_gdino
+    gm = GroundingModel(model, variables)
+    rng = np.random.default_rng(11)
+    image = rng.integers(0, 255, (48, 72, 3), dtype=np.uint8)
+    texts = ["the red car.", "a dog running.", "the tallest person."]
+    ref = gm.get_boxes_many(image, texts, box_threshold=-1.0)
+    gm.max_expr_batch = 2
+    got = gm.get_boxes_many(image, texts, box_threshold=-1.0)
+    assert len(got) == len(ref)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.stack([p["bbox"] for p in g]),
+                                   np.stack([p["bbox"] for p in r]),
+                                   atol=1e-3)
