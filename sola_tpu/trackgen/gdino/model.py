@@ -719,28 +719,55 @@ class GroundingModel:
         at ``max_expr_batch``). Returns one pred list per text; numerics
         identical to per-text ``get_boxes`` (the batch axis mixes
         nothing)."""
+        return self.harvest_boxes(
+            self.enqueue_boxes(image, texts), box_threshold, text_threshold)
+
+    def enqueue_boxes(self, image: np.ndarray, texts: Sequence[str]):
+        """Device phase of ``get_boxes_many``: tokenize + launch the
+        forward(s), return a pending record WITHOUT any host sync — so a
+        caller can overlap the next frame's GDINO compute with this
+        frame's host post-processing / SAM2 stage (the same pipelining
+        discipline as amg.generate_many)."""
         cap = self.max_expr_batch
-        if len(texts) > cap:
-            out = []
-            for s in range(0, len(texts), cap):
-                out.extend(self.get_boxes_many(
-                    image, texts[s:s + cap], box_threshold, text_threshold))
-            return out
-        h, w = image.shape[:2]
-        canvas, pmask, _ = preprocess_image(image, self.cfg)
-        toks = [self._tokenize(t) for t in texts]
-        e = len(toks)
-        e_pad = max(((e + 3) // 4) * 4, 1) if e != 1 else 1
-        toks = toks + [toks[0]] * (e_pad - e)
-        ids = np.concatenate([t[0] for t in toks], axis=0)
-        tmask = np.concatenate([t[1] for t in toks], axis=0)
-        smask = np.concatenate([t[2] for t in toks], axis=0)
-        pids = np.concatenate([t[3] for t in toks], axis=0)
-        out = self._forward(self.compute_variables, canvas[None], pmask[None],
-                            jnp.asarray(ids), jnp.asarray(tmask),
-                            jnp.asarray(smask), jnp.asarray(pids))
-        logits_all = np.asarray(jax.nn.sigmoid(out["pred_logits"]),
-                                dtype=np.float32)
+        pendings = []
+        for s in range(0, max(len(texts), 1), cap):
+            chunk = texts[s:s + cap]
+            toks = [self._tokenize(t) for t in chunk]
+            e = len(toks)
+            e_pad = max(((e + 3) // 4) * 4, 1) if e != 1 else 1
+            toks = toks + [toks[0]] * (e_pad - e)
+            ids = np.concatenate([t[0] for t in toks], axis=0)
+            tmask = np.concatenate([t[1] for t in toks], axis=0)
+            smask = np.concatenate([t[2] for t in toks], axis=0)
+            pids = np.concatenate([t[3] for t in toks], axis=0)
+            canvas, pmask, _ = preprocess_image(image, self.cfg)
+            out = self._forward(self.compute_variables, canvas[None],
+                                pmask[None], jnp.asarray(ids),
+                                jnp.asarray(tmask), jnp.asarray(smask),
+                                jnp.asarray(pids))
+            out["pred_logits"].copy_to_host_async()
+            out["pred_boxes"].copy_to_host_async()
+            pendings.append((chunk, ids, tmask, out))
+        return (image.shape[:2], pendings)
+
+    def harvest_boxes(self, pending, box_threshold: float = 0.2,
+                      text_threshold: float = 0.25) -> list[list[dict]]:
+        """Host phase of ``get_boxes_many``: fetch + threshold + phrases."""
+        (h, w), pendings = pending
+        results = []
+        for chunk, ids, tmask, out in pendings:
+            results.extend(self._postprocess(
+                chunk, ids, tmask, out, h, w, box_threshold, text_threshold))
+        return results
+
+    def _postprocess(self, texts, ids, tmask, out, h, w,
+                     box_threshold, text_threshold) -> list[list[dict]]:
+        # sigmoid on host: the raw logits were already async-copied at
+        # enqueue time; a device sigmoid here would launch a new program
+        # and a second (synchronous) fetch
+        raw = np.asarray(out["pred_logits"], dtype=np.float32)
+        with np.errstate(over="ignore"):
+            logits_all = 1.0 / (1.0 + np.exp(-raw))
         logits_all = np.where(np.isfinite(logits_all), logits_all, 0.0)
         boxes_all = np.asarray(out["pred_boxes"], dtype=np.float32)
         results = []

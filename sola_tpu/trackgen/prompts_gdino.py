@@ -50,33 +50,58 @@ class PromptGenerator:
                          raw_texts: Sequence[str]) -> dict:
         """Returns {text_idx: {"expression", "preds": [{"phrase", "bbox",
         "token_score", "sam2_mask", "mask_score", "stability_score"}]}}."""
-        outputs = {}
-        self.sam2.set_image(image)
+        return self.harvest(self.enqueue(image, raw_texts))
+
+    def enqueue(self, image: np.ndarray, raw_texts: Sequence[str]):
+        """Device phase: launch this frame's GDINO forward(s) AND the SAM2
+        image encode without any host sync, so the next frame's compute can
+        be enqueued before this frame's results are fetched (one-frame
+        lookahead in ``generate_video_prompts``)."""
         texts = [normalize_expression(t) for t in raw_texts]
-        if hasattr(self.grounding, "get_boxes_many"):
+        pending_g = None
+        if hasattr(self.grounding, "enqueue_boxes"):
             # one forward for ALL expressions of the frame: the Swin trunk
             # runs once, the text-fused encoder/decoder batch over
             # expressions (the reference pays a full GDINO forward per
             # (frame, expression), prompt_generator.py:132-140)
-            preds_many = self.grounding.get_boxes_many(
-                image, texts, box_threshold=self.box_threshold,
+            pending_g = self.grounding.enqueue_boxes(image, texts)
+        self.sam2.set_image(image)
+        feats = (getattr(self.sam2, "_feats", None),
+                 getattr(self.sam2, "_orig_hw", None))
+        return (image, texts, pending_g, feats)
+
+    def harvest(self, pending) -> dict:
+        image, texts, pending_g, feats = pending
+        # restore this frame's cached features (a later enqueue may have
+        # replaced them with the next frame's); fake predictors without the
+        # cache re-encode nothing — they are stateless per predict call
+        if feats[0] is not None:
+            self.sam2._feats, self.sam2._orig_hw = feats
+        if pending_g is not None:
+            preds_many = self.grounding.harvest_boxes(
+                pending_g, box_threshold=self.box_threshold,
                 text_threshold=self.text_threshold)
         else:
             preds_many = [self.grounding.get_boxes(
                 image, t, box_threshold=self.box_threshold,
                 text_threshold=self.text_threshold) for t in texts]
+
+        outputs = {}
         for text_idx, (text, preds) in enumerate(zip(texts, preds_many)):
             outputs[str(text_idx)] = {"expression": text, "preds": preds}
-            if not preds:
-                continue
-            boxes = np.stack([p["bbox"] for p in preds], axis=0)
+        # ONE box->mask program for every expression's boxes (E dispatches
+        # would pay the host round trip per expression)
+        flat = [(ti, p) for ti, preds in enumerate(preds_many)
+                for p in preds]
+        if flat:
+            boxes = np.stack([p["bbox"] for _, p in flat], axis=0)
             masks, scores, logits = self.sam2.predict(
                 box=boxes, multimask_output=False)
             if masks.ndim >= 4:
                 masks = masks[:, 0]
                 scores = scores[:, 0]
                 logits = logits[:, 0]
-            for i, pred in enumerate(preds):
+            for i, (_, pred) in enumerate(flat):
                 pred.update({
                     "sam2_mask": masks[i],
                     "mask_score": float(scores[i]),
@@ -97,11 +122,32 @@ def generate_video_prompts(prompt_generator: PromptGenerator, frames: list,
     expr_ids = list(expressions.keys())
     texts = [expressions[e]["exp"] for e in expr_ids]
 
+    # one-frame lookahead: frame k+1's GDINO forward + SAM2 encode are
+    # enqueued before frame k's results are fetched, overlapping device
+    # compute with host post-processing (needs the real predictors' async
+    # enqueue/feature-cache surface; test fakes fall back to sequential)
+    can_pipeline = (hasattr(prompt_generator.grounding, "enqueue_boxes")
+                    and hasattr(prompt_generator.sam2, "_feats"))
+
+    def frame_outputs():
+        if not can_pipeline:
+            for fi in sel:
+                yield fi, prompt_generator.generate_prompts(frames[fi],
+                                                            texts)
+            return
+        prev = None
+        for fi in sel:
+            cur = (fi, prompt_generator.enqueue(frames[fi], texts))
+            if prev is not None:
+                yield prev[0], prompt_generator.harvest(prev[1])
+            prev = cur
+        if prev is not None:
+            yield prev[0], prompt_generator.harvest(prev[1])
+
     prompt_masks = []
-    for fi in sel:
+    for fi, outputs in frame_outputs():
         frame = frames[fi]
         frame_area = frame.shape[0] * frame.shape[1]
-        outputs = prompt_generator.generate_prompts(frame, texts)
         for text_idx, expr_id in enumerate(expr_ids):
             for pred in outputs[str(text_idx)]["preds"]:
                 if "sam2_mask" not in pred:
