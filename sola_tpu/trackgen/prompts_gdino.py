@@ -95,18 +95,23 @@ class PromptGenerator:
                 for p in preds]
         if flat:
             boxes = np.stack([p["bbox"] for _, p in flat], axis=0)
-            masks, scores, logits = self.sam2.predict(
-                box=boxes, multimask_output=False)
-            if masks.ndim >= 4:
-                masks = masks[:, 0]
-                scores = scores[:, 0]
-                logits = logits[:, 0]
+            if hasattr(self.sam2, "predict_packed"):
+                # bit-packed mask fetch + device-side stability (~10x
+                # fewer host-link bytes than dense masks + fp32 logits)
+                masks, scores, stabs = self.sam2.predict_packed(box=boxes)
+            else:
+                masks, scores, logits = self.sam2.predict(
+                    box=boxes, multimask_output=False)
+                if masks.ndim >= 4:
+                    masks = masks[:, 0]
+                    scores = scores[:, 0]
+                    logits = logits[:, 0]
+                stabs = [compute_stability_score(lg) for lg in logits]
             for i, (_, pred) in enumerate(flat):
                 pred.update({
                     "sam2_mask": masks[i],
                     "mask_score": float(scores[i]),
-                    "stability_score": float(
-                        compute_stability_score(logits[i])),
+                    "stability_score": float(stabs[i]),
                 })
         return outputs
 

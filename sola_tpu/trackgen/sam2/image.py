@@ -74,6 +74,35 @@ class SAM2ImagePredictor:
             lambda v, pix, s0, s1, c, l: _predict(v, pix, s0, s1, c, l,
                                                   True))
 
+        def _predict_packed(v, pix, s0, s1, coords, labels, stability_offset,
+                            h, w):
+            """Box/point -> mask with the full-res mask bit-packed and the
+            stability score computed ON DEVICE: the dense path fetches
+            (N, H, W) bool + (N, 1, lh, lw) fp32 logits (~10 MB/frame at
+            production box counts) where this ships N x H x W/8 bytes + 2N
+            scalars — the fetch the gdino prompt stage pays per frame
+            (prompt_generator.py:92-117 + :169-186 semantics)."""
+            out = _predict(v, pix, s0, s1, coords, labels, False)
+            n = coords.shape[0]
+            high = out["high_res_masks"][:, 0]        # (N, S, S) logits
+            up = jax.image.resize(high, (n, h, w), method="linear")
+            m = up > 0.0
+            w8 = (w + 7) // 8 * 8
+            bits = jnp.pad(m, ((0, 0), (0, 0), (0, w8 - w))).astype(
+                jnp.uint8)
+            weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+            packed = jnp.sum(
+                bits.reshape(n, h, w8 // 8, 8)
+                * weights[None, None, None, :], axis=-1, dtype=jnp.uint8)
+            low = out["low_res_masks"][:, 0].astype(jnp.float32)
+            inter = jnp.sum(low > stability_offset, axis=(-2, -1))
+            union = jnp.sum(low > -stability_offset, axis=(-2, -1))
+            stab = jnp.where(union > 0, inter / jnp.maximum(union, 1), 0.0)
+            return packed, out["ious"][:, 0], stab
+
+        self._predict_packed = jax.jit(_predict_packed,
+                                       static_argnums=(7, 8))
+
         # AMG fast path: everything stays on device; only (iou, stability)
         # scalars come back per proposal. High-res masks are never built
         # (compute_high_res=False skips the 128 x 3 x S^2 upscale the
@@ -296,13 +325,14 @@ class SAM2ImagePredictor:
         packed, boxes, areas = self._finalize_packed(low_sel, h, w)
         return packed, np.asarray(boxes), np.asarray(areas)
 
-    def predict(self, point_coords: Optional[np.ndarray] = None,
-                point_labels: Optional[np.ndarray] = None,
-                box: Optional[np.ndarray] = None,
-                multimask_output: bool = False):
-        """Returns (masks (N, K, H, W) bool, scores (N, K),
-        low_res_logits (N, K, 4h, 4w)); N prompt sets, K=3 if multimask."""
-        assert self._feats is not None, "call set_image first"
+    def _prep_prompts(self, point_coords, point_labels, box):
+        """Shared box/point -> padded (coords, labels, n_real) prep.
+
+        Bucket-pads the prompt axis: the jitted programs are specialized
+        on N, and production box counts vary per (frame, expression) — an
+        unpadded call would compile a fresh program for every distinct
+        count (minutes each through a compile relay). Pads by repeating
+        the last prompt row to the next multiple of 4; callers slice."""
         prompts = []
         if box is not None:
             box = np.asarray(box, np.float32)
@@ -328,11 +358,6 @@ class SAM2ImagePredictor:
             labels = np.concatenate([p[1] for p in prompts], axis=1)
             assert coords.shape[0] == n
 
-        # bucket-pad the prompt axis: the jitted program is specialized on
-        # N, and production box counts vary per (frame, expression) — an
-        # unpadded call would compile a fresh program for every distinct
-        # count (minutes each through a compile relay). Pad by repeating
-        # the last prompt row to the next multiple of 4, slice results.
         n_real = coords.shape[0]
         n_pad = ((n_real + 3) // 4) * 4
         if n_pad != n_real:
@@ -341,7 +366,17 @@ class SAM2ImagePredictor:
                 [coords, np.tile(coords[-1:], reps)], axis=0)
             labels = np.concatenate(
                 [labels, np.tile(labels[-1:], reps[:2])], axis=0)
+        return coords, labels, n_real
 
+    def predict(self, point_coords: Optional[np.ndarray] = None,
+                point_labels: Optional[np.ndarray] = None,
+                box: Optional[np.ndarray] = None,
+                multimask_output: bool = False):
+        """Returns (masks (N, K, H, W) bool, scores (N, K),
+        low_res_logits (N, K, 4h, 4w)); N prompt sets, K=3 if multimask."""
+        assert self._feats is not None, "call set_image first"
+        coords, labels, n_real = self._prep_prompts(point_coords,
+                                                    point_labels, box)
         f = self._feats
         fn = self._predict_multi if multimask_output else self._predict_single
         out = fn(self.compute_variables, f["pix"], f["s0"], f["s1"],
@@ -350,6 +385,29 @@ class SAM2ImagePredictor:
         masks = np.asarray(high > 0.0)
         return (masks, np.asarray(out["ious"][:n_real]),
                 np.asarray(out["low_res_masks"][:n_real]))
+
+    def predict_packed(self, point_coords: Optional[np.ndarray] = None,
+                       point_labels: Optional[np.ndarray] = None,
+                       box: Optional[np.ndarray] = None,
+                       stability_offset: float = 1.0):
+        """Single-mask predict with a bit-packed fetch and device-side
+        stability: returns (masks (N, H, W) bool, scores (N,),
+        stability (N,)). ~10x fewer host-link bytes than ``predict`` +
+        host ``compute_stability_score`` — same numerics (linear resize of
+        the high-res logits > 0; stability from the low-res logits with
+        the standard +-offset rule)."""
+        assert self._feats is not None, "call set_image first"
+        h, w = self._orig_hw
+        coords, labels, n_real = self._prep_prompts(point_coords,
+                                                    point_labels, box)
+        f = self._feats
+        packed, ious, stab = self._predict_packed(
+            self.compute_variables, f["pix"], f["s0"], f["s1"],
+            jnp.asarray(coords), jnp.asarray(labels), stability_offset,
+            h, w)
+        masks = unpack_masks(np.asarray(packed), h, w)[:n_real]
+        return (masks, np.asarray(ious, np.float32)[:n_real],
+                np.asarray(stab, np.float32)[:n_real])
 
 
 def unpack_masks(packed: np.ndarray, h: int, w: int) -> np.ndarray:

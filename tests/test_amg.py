@@ -81,3 +81,22 @@ def test_amg_empty_when_thresholds_high(tiny_predictor, rng):
         pred_iou_thresh=1e9)
     image = rng.integers(0, 255, (48, 72, 3), dtype=np.uint8)
     assert amg.generate(image) == []
+
+
+def test_predict_packed_matches_dense(tiny_predictor, rng):
+    """predict_packed must reproduce predict + host stability exactly:
+    same resize/threshold path, bit-packed transfer, device stability."""
+    from sola_tpu.trackgen.sam2.image import compute_stability_score
+
+    pred = tiny_predictor
+    image = rng.integers(0, 255, (48, 72, 3), dtype=np.uint8)
+    pred.set_image(image)
+    boxes = np.asarray([[5, 5, 40, 30], [10, 2, 70, 46], [0, 0, 20, 20]],
+                       np.float32)
+    dm, ds, dl = pred.predict(box=boxes, multimask_output=False)
+    pm, ps, pstab = pred.predict_packed(box=boxes)
+    assert pm.shape == (3, 48, 72) and pm.dtype == bool
+    np.testing.assert_array_equal(pm, dm[:, 0])
+    np.testing.assert_allclose(ps, ds[:, 0], atol=1e-5)
+    ref_stab = np.asarray([compute_stability_score(lg) for lg in dl[:, 0]])
+    np.testing.assert_allclose(pstab, ref_stab, atol=1e-5)
