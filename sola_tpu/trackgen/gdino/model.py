@@ -728,9 +728,12 @@ class GroundingModel:
         caller can overlap the next frame's GDINO compute with this
         frame's host post-processing / SAM2 stage (the same pipelining
         discipline as amg.generate_many)."""
+        if not texts:
+            return (image.shape[:2], [])
         cap = self.max_expr_batch
         pendings = []
-        for s in range(0, max(len(texts), 1), cap):
+        canvas, pmask, _ = preprocess_image(image, self.cfg)
+        for s in range(0, len(texts), cap):
             chunk = texts[s:s + cap]
             toks = [self._tokenize(t) for t in chunk]
             e = len(toks)
@@ -740,7 +743,6 @@ class GroundingModel:
             tmask = np.concatenate([t[1] for t in toks], axis=0)
             smask = np.concatenate([t[2] for t in toks], axis=0)
             pids = np.concatenate([t[3] for t in toks], axis=0)
-            canvas, pmask, _ = preprocess_image(image, self.cfg)
             out = self._forward(self.compute_variables, canvas[None],
                                 pmask[None], jnp.asarray(ids),
                                 jnp.asarray(tmask), jnp.asarray(smask),
