@@ -310,3 +310,91 @@ def test_run_round_collect_false_banks(predictor):
     again = prop.run_round(pack, plan, cond_masks, collect=False)
     np.testing.assert_array_equal(
         ring, np.asarray(again["banks"][2], np.float32))
+
+
+def test_gt_packed_matches_sequential(tmp_path, predictor):
+    """Packed GT rounds (several videos' single-seed objects in one scan)
+    must write bit-identical artifacts to the sequential per-object path;
+    multi-seed (re-appearing) objects take the sequential fallback."""
+    import json as json_lib
+    import os
+
+    from sola_tpu.trackgen import tokens_gt
+
+    def gt_obj(t, hw, y0, y1, x0, x1, absent=()):
+        m = np.zeros((t,) + hw, np.uint8)
+        for f in range(t):
+            if f not in absent:
+                x = (x0 + 2 * f) % max(hw[1] - (x1 - x0), 1)
+                m[f, y0:y1, x:x + (x1 - x0)] = 1
+        return m
+
+    videos = [
+        ("vidA", 5, (48, 72), {
+            "1": gt_obj(5, (48, 72), 6, 20, 4, 14),
+            "2": gt_obj(5, (48, 72), 24, 40, 30, 42),
+        }),
+        ("vidB", 7, (40, 56), {
+            "3": gt_obj(7, (40, 56), 6, 20, 4, 14),
+            # absent at frame 2 -> two appearance onsets -> multi-seed
+            "4": gt_obj(7, (40, 56), 22, 36, 20, 32, absent=(2,)),
+        }),
+    ]
+
+    states = {}
+    for vid, t, hw, _ in videos:
+        states[vid] = predictor.init_state(make_video(t, hw, seed=hash(vid) % 100))
+
+    def collect(root):
+        out = {}
+        for dirpath, _, files in os.walk(root):
+            for fn in sorted(files):
+                p = os.path.join(dirpath, fn)
+                rel = os.path.relpath(p, root)
+                if fn.endswith(".json"):
+                    with open(p) as f:
+                        out[rel] = json_lib.load(f)
+                elif fn.endswith(".npy"):
+                    out[rel] = np.load(p)
+        return out
+
+    from sola_tpu.core import mask_ops as mo
+
+    seq_root = str(tmp_path / "seq")
+    for vid, t, hw, gts in videos:
+        gt_small = {k: np.asarray(mo.reshape_masklet_auto(
+            v.astype(np.float32))) for k, v in gts.items()}
+        tokens_gt.run_video(predictor, states[vid], vid, gts, t, seq_root,
+                            "mevis", "train", save_prec_rec_iou=True,
+                            gt_small=gt_small, log=lambda s: None)
+
+    pk_root = str(tmp_path / "pk")
+    items = [{"video_id": vid, "state": states[vid], "gt_masklets": gts,
+              "n_frames": t,
+              "gt_small": {k: np.asarray(mo.reshape_masklet_auto(
+                  v.astype(np.float32))) for k, v in gts.items()}}
+             for vid, t, hw, gts in videos]
+    censuses = tokens_gt.run_videos_packed_gt(
+        predictor, items, pk_root, "mevis", "train",
+        save_prec_rec_iou=True, log=lambda s: None)
+
+    a, b = collect(seq_root), collect(pk_root)
+    assert set(a) == set(b) and len(a) >= 8  # 4 objects x (json + npy)
+    for rel in a:
+        if rel.endswith(".npy"):
+            np.testing.assert_allclose(b[rel], a[rel], atol=1e-5)
+        else:
+            va, vb = a[rel], b[rel]
+            assert va["rle"] == vb["rle"], rel
+            assert va["prompt_type"] == vb["prompt_type"] == "GT MASK"
+            for key in ("precision", "recall", "iou"):
+                for gid in va.get(key, {}):
+                    np.testing.assert_allclose(
+                        np.asarray(list(vb[key][gid]), float)
+                        if isinstance(vb[key][gid], list)
+                        else vb[key][gid],
+                        np.asarray(list(va[key][gid]), float)
+                        if isinstance(va[key][gid], list)
+                        else va[key][gid], atol=1e-5)
+    for vid, t, hw, gts in videos:
+        assert set(censuses[vid]) == set(gts)
