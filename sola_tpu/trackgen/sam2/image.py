@@ -18,6 +18,25 @@ from sola_tpu.trackgen.sam2.image_encoder import normalize_image
 from sola_tpu.trackgen.sam2.model import SAM2Config, SAM2Model
 
 
+def _bitpack_masks(m: jax.Array) -> jax.Array:
+    """(N, h, w) bool -> (N, h, ceil(w/8)) uint8, MSB-first rows (the
+    layout ``unpack_masks`` reverses) — 1 bit/pixel across the host link."""
+    n, h, w = m.shape
+    w8 = (w + 7) // 8 * 8
+    bits = jnp.pad(m, ((0, 0), (0, 0), (0, w8 - w))).astype(jnp.uint8)
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    return jnp.sum(bits.reshape(n, h, w8 // 8, 8)
+                   * weights[None, None, None, :], axis=-1, dtype=jnp.uint8)
+
+
+def _stability_from_logits(low: jax.Array, offset) -> jax.Array:
+    """|logit > +off| / |logit > -off| over the last two axes (SAM AMG
+    stability rule; prompt_generator.py:169-186)."""
+    inter = jnp.sum(low > offset, axis=(-2, -1))
+    union = jnp.sum(low > -offset, axis=(-2, -1))
+    return jnp.where(union > 0, inter / jnp.maximum(union, 1), 0.0)
+
+
 class SAM2ImagePredictor:
     def __init__(self, model: SAM2Model, variables: dict,
                  max_prompts: int = 8, compute_dtype=jnp.bfloat16):
@@ -86,19 +105,9 @@ class SAM2ImagePredictor:
             n = coords.shape[0]
             high = out["high_res_masks"][:, 0]        # (N, S, S) logits
             up = jax.image.resize(high, (n, h, w), method="linear")
-            m = up > 0.0
-            w8 = (w + 7) // 8 * 8
-            bits = jnp.pad(m, ((0, 0), (0, 0), (0, w8 - w))).astype(
-                jnp.uint8)
-            weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
-            packed = jnp.sum(
-                bits.reshape(n, h, w8 // 8, 8)
-                * weights[None, None, None, :], axis=-1, dtype=jnp.uint8)
             low = out["low_res_masks"][:, 0].astype(jnp.float32)
-            inter = jnp.sum(low > stability_offset, axis=(-2, -1))
-            union = jnp.sum(low > -stability_offset, axis=(-2, -1))
-            stab = jnp.where(union > 0, inter / jnp.maximum(union, 1), 0.0)
-            return packed, out["ious"][:, 0], stab
+            stab = _stability_from_logits(low, stability_offset)
+            return _bitpack_masks(up > 0.0), out["ious"][:, 0], stab
 
         self._predict_packed = jax.jit(_predict_packed,
                                        static_argnums=(7, 8))
@@ -119,10 +128,7 @@ class SAM2ImagePredictor:
                               True, compute_high_res=False,
                               method=SAM2Model.sam_heads)
             low = out["low_res_masks"]          # (N, 3, 4h, 4w) fp32
-            inter = jnp.sum(low > stability_offset, axis=(-2, -1))
-            union = jnp.sum(low > -stability_offset, axis=(-2, -1))
-            stab = jnp.where(union > 0,
-                             inter / jnp.maximum(union, 1), 0.0)
+            stab = _stability_from_logits(low, stability_offset)
             return out["ious"], stab, low
 
         self._propose = jax.jit(_propose)
@@ -161,13 +167,7 @@ class SAM2ImagePredictor:
                 jnp.where(empty, 0, x0), jnp.where(empty, 0, y0),
                 jnp.where(empty, 0, x1), jnp.where(empty, 0, y1)],
                 axis=1).astype(jnp.float32)
-            w8 = (w + 7) // 8 * 8
-            bits = jnp.pad(m, ((0, 0), (0, 0), (0, w8 - w))).astype(jnp.uint8)
-            weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
-            packed = jnp.sum(
-                bits.reshape(k, h, w8 // 8, 8)
-                * weights[None, None, None, :], axis=-1, dtype=jnp.uint8)
-            return packed, boxes, areas
+            return _bitpack_masks(m), boxes, areas
 
         self._finalize_packed = jax.jit(_finalize_packed,
                                         static_argnums=(1, 2))
@@ -206,11 +206,8 @@ class SAM2ImagePredictor:
                                   method=SAM2Model.sam_heads)
                 low = out["low_res_masks"]            # (bsz, 3, lh, lw)
                 lh, lw = low.shape[-2:]
-                inter = jnp.sum(low > stability_offset, axis=(-2, -1))
-                union = jnp.sum(low > -stability_offset, axis=(-2, -1))
-                stab = (jnp.where(union > 0,
-                                  inter / jnp.maximum(union, 1), 0.0)
-                        .astype(jnp.float32))
+                stab = _stability_from_logits(
+                    low, stability_offset).astype(jnp.float32)
                 ious = out["ious"].astype(jnp.float32)  # (bsz, 3)
                 keep = ((ious > iou_thresh) & (stab > stab_thresh)
                         & vmask[:, None])

@@ -154,7 +154,7 @@ class SAM2VideoPredictor:
                 return model.apply(v, *args, method=method)
             (cond_mem, cond_valid, recent_mem, recent_frame, recent_valid,
              obj_ptrs, ptr_frame, ptr_valid, seed_buf, cond_min) = carry
-            pix, s0, s1, frame_idx = inputs
+            pix, s0, s1, frame_idx, active = inputs
             b = self.obj_batch
             pix = jnp.broadcast_to(pix.astype(cdt), (b,) + pix.shape)
             s0 = jnp.broadcast_to(s0.astype(cdt), (b,) + s0.shape)
@@ -195,8 +195,13 @@ class SAM2VideoPredictor:
                          out["high_res_masks"][:, 0]).astype(cdt)
             obj_ptr_new = out["obj_ptr"].astype(cdt)
 
-            # with memory_stride r, only every r-th frame enters the ring
-            do_push = ((frame_idx - cond_min) % stride) == 0
+            # with memory_stride r, only every r-th frame enters the ring;
+            # `active` gates out the pass's padded tail steps (repeats of
+            # the last frame) — an ungated padded re-push would store a
+            # second-pass memory/pointer (computed WITH the frame's own
+            # pointer in the bank) that upstream — which has no padding —
+            # never produces, perturbing the subsequent reverse pass
+            do_push = active & (((frame_idx - cond_min) % stride) == 0)
             slot = (frame_idx // stride) % cfg.num_recent
             new_mem = jax.lax.dynamic_update_index_in_dim(
                 recent_mem, mem, slot, axis=1)
@@ -207,18 +212,23 @@ class SAM2VideoPredictor:
             recent_valid = jnp.where(
                 do_push, recent_valid.at[:, slot].set(True), recent_valid)
             pslot = frame_idx % cfg.max_obj_ptrs
-            obj_ptrs = jax.lax.dynamic_update_index_in_dim(
+            new_ptrs = jax.lax.dynamic_update_index_in_dim(
                 obj_ptrs, obj_ptr_new, pslot, axis=1)
-            ptr_frame = ptr_frame.at[:, pslot].set(frame_idx)
-            ptr_valid = ptr_valid.at[:, pslot].set(True)
+            obj_ptrs = jnp.where(active, new_ptrs, obj_ptrs)
+            ptr_frame = jnp.where(active,
+                                  ptr_frame.at[:, pslot].set(frame_idx),
+                                  ptr_frame)
+            ptr_valid = jnp.where(active,
+                                  ptr_valid.at[:, pslot].set(True),
+                                  ptr_valid)
 
             # forward pass: stash memories of the first R (stride-aligned)
             # post-cond frames to re-seed the ring for the reverse pass
             if not reverse:
                 rel = frame_idx - cond_min
                 sslot = jnp.clip(rel // stride - 1, 0, cfg.num_recent - 1)
-                write = (rel >= 1) & (rel <= cfg.num_recent * stride) & (
-                    rel % stride == 0)
+                write = active & (rel >= 1) & (
+                    rel <= cfg.num_recent * stride) & (rel % stride == 0)
                 new_seed = jax.lax.dynamic_update_index_in_dim(
                     seed_buf, mem, sslot, axis=0)
                 seed_buf = jnp.where(write, new_seed, seed_buf)
@@ -520,11 +530,12 @@ class SAM2VideoPredictor:
             frame_idxs,
             np.full(n_pad - n_valid, frame_idxs[-1], np.int32)])
         f = state.features
+        act = np.arange(n_pad) < n_valid
         lo_parts, ptr_parts = [], []
         for seg in range(0, n_pad, chunk):
             seg_idx = idxs[seg:seg + chunk]
             xs = (f["pix"][seg_idx], f["s0"][seg_idx], f["s1"][seg_idx],
-                  jnp.asarray(seg_idx))
+                  jnp.asarray(seg_idx), jnp.asarray(act[seg:seg + chunk]))
             carry, (lo, ptr) = self._scan_pass(self.compute_variables, carry,
                                                xs, reverse=reverse)
             lo_parts.append(lo)

@@ -253,8 +253,10 @@ def main(argv=None, predictor_factory=None) -> None:
             group = work[g0:g0 + args.video_pack]
             for vid in group:
                 prefetcher.schedule(vid, frames_dir_of(vid))
-            if g0 + args.video_pack < len(work):
-                nxt = work[g0 + args.video_pack]
+            # overlap the WHOLE next group's encodes with this group's
+            # (long) packed rounds, not just its first video
+            for nxt in work[g0 + args.video_pack:
+                            g0 + 2 * args.video_pack]:
                 prefetcher.schedule(nxt, frames_dir_of(nxt))
             states = {vid: prefetcher.get(vid, frames_dir_of(vid))
                       for vid in group}

@@ -116,7 +116,7 @@ def run_videos_packed_gt(predictor, items, track_root: str, dataset: str,
     packed_units = [u for u in units if len(u[2]) == 1]
     multi_units = [u for u in units if len(u[2]) > 1]
 
-    def finish(vi, anno_id, out, start):
+    def finish(vi, anno_id, out, elapsed):
         it = items[vi]
         metrics = None
         if save_prec_rec_iou and it.get("gt_small") is not None:
@@ -128,7 +128,7 @@ def run_videos_packed_gt(predictor, items, track_root: str, dataset: str,
             rle.encode_masklet(out["masklet"]), "GT MASK", out["tokens"],
             metrics=metrics)
         censuses[it["video_id"]][str(anno_id)] = {
-            "time": time.time() - start,
+            "time": elapsed,
             "n_frames": it["n_frames"],
         }
 
@@ -150,6 +150,10 @@ def run_videos_packed_gt(predictor, items, track_root: str, dataset: str,
         out = prop.run_round(
             pack, SlotPlan(video=video, cond=cond, length=length),
             cond_masks)
+        # per-object cost attribution: the round's wall time is shared by
+        # its slots (sequential semantics report per-object times; a
+        # group total per object would inflate runtime_info obj_batch-fold)
+        share = (time.time() - start) / max(len(group), 1)
         for s, (vi, anno_id, seeds) in enumerate(group):
             t = items[vi]["n_frames"]
             masklet = np.stack(
@@ -161,14 +165,14 @@ def run_videos_packed_gt(predictor, items, track_root: str, dataset: str,
             finish(vi, anno_id,
                    {"masklet": masklet,
                     "masklet_small": np.asarray(out["smalls"][s]),
-                    "tokens": tokens}, start)
+                    "tokens": tokens}, share)
 
     for vi, anno_id, seeds in multi_units:
         start = time.time()
         it = items[vi]
         out = run_gt_object(predictor, it["state"], anno_id,
                             it["gt_masklets"][anno_id], it["n_frames"])
-        finish(vi, anno_id, out, start)
+        finish(vi, anno_id, out, time.time() - start)
     return censuses
 
 
@@ -264,8 +268,10 @@ def main(argv=None, predictor_factory=None) -> None:
             group = work[g0:g0 + args.video_pack]
             for vid in group:
                 prefetcher.schedule(vid, frames_dir_of(vid))
-            if g0 + args.video_pack < len(work):
-                nxt = work[g0 + args.video_pack]
+            # overlap the WHOLE next group's encodes with this group's
+            # (long) packed rounds, not just its first video
+            for nxt in work[g0 + args.video_pack:
+                            g0 + 2 * args.video_pack]:
                 prefetcher.schedule(nxt, frames_dir_of(nxt))
             items = []
             for vid in group:

@@ -179,3 +179,58 @@ def test_get_boxes_many_chunked(tiny_gdino):
         np.testing.assert_allclose(np.stack([p["bbox"] for p in g]),
                                    np.stack([p["bbox"] for p in r]),
                                    atol=1e-3)
+
+
+def test_pipelined_video_prompts_match_sequential(tiny_gdino):
+    """The prompt CLI's one-frame-lookahead pipeline (enqueue/harvest
+    interleave + SAM2 feature save/restore + predict_packed) must produce
+    the same prompts JSON as strictly sequential per-frame generation —
+    this is the riskiest control flow of the stage and only engages with
+    the REAL model surfaces (test fakes take the fallback)."""
+    from sola_tpu.trackgen.prompts_gdino import (PromptGenerator,
+                                                generate_video_prompts)
+    from sola_tpu.trackgen.sam2.image import SAM2ImagePredictor
+    from sola_tpu.trackgen.sam2.model import SAM2Config, SAM2Model
+
+    (gmodel, gvars), _ = tiny_gdino
+    gm = GroundingModel(gmodel, gvars)
+    scfg = SAM2Config.tiny_test(image_size=64)
+    smodel = SAM2Model(scfg)
+    simg = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    svars = smodel.init(jax.random.PRNGKey(1), simg)
+    ipred = SAM2ImagePredictor(smodel, svars,
+                               compute_dtype=jnp.float32)
+
+    rng = np.random.default_rng(5)
+    frames = [rng.integers(0, 255, (48, 72, 3), dtype=np.uint8)
+              for _ in range(3)]
+    expressions = {"0": {"exp": "the red car"},
+                   "1": {"exp": "a walking dog"}}
+
+    class SequentialGrounding:  # no enqueue_boxes -> pipeline disabled
+        def get_boxes(self, *a, **k):
+            return gm.get_boxes(*a, **k)
+
+    pg_pipe = PromptGenerator(gm, ipred, box_threshold=-1.0)
+    pg_seq = PromptGenerator(SequentialGrounding(), ipred,
+                             box_threshold=-1.0)
+    info_pipe = generate_video_prompts(pg_pipe, frames, "vid",
+                                       expressions, bin_size=1)
+    info_seq = generate_video_prompts(pg_seq, frames, "vid",
+                                      expressions, bin_size=1)
+
+    pa, pb = info_pipe["prompt_masks"], info_seq["prompt_masks"]
+    assert len(pa) == len(pb) > 0
+
+    def key(p):
+        return (p["frame_idx"], p["expression_id"], p["prompt_id"])
+
+    for a, b in zip(sorted(pa, key=key), sorted(pb, key=key)):
+        assert a["frame_idx"] == b["frame_idx"]
+        assert a["expression_id"] == b["expression_id"]
+        assert a["segmentation"] == b["segmentation"]
+        np.testing.assert_allclose(a["bbox"], b["bbox"], atol=1e-2)
+        np.testing.assert_allclose(a["mask_score"], b["mask_score"],
+                                   atol=1e-4)
+        np.testing.assert_allclose(a["stability_score"],
+                                   b["stability_score"], atol=1e-4)

@@ -123,11 +123,14 @@ def test_packed_matches_sequential(predictor):
         for pid in rs:
             a, b = rs[pid], rp[pid]
             assert a.masklet.shape == b.masklet.shape
-            # fp32 compute: binary masks may differ only at logit~0 pixels
+            # the paths run distinct-but-equivalent fp32 programs
+            # (broadcast vs gather step); only rounding-level drift is
+            # allowed. The pre-fix ungated padded-tail bank pushes showed
+            # up here as ~1e-3 token drift — keep the bound tight
             diff = (a.masklet != b.masklet).mean()
-            assert diff < 5e-3, f"video {vi} track {pid}: {diff:.4f}"
-            np.testing.assert_allclose(a.tokens, b.tokens, atol=2e-3,
-                                       rtol=1e-3)
+            assert diff < 1e-4, f"video {vi} track {pid}: {diff:.4f}"
+            np.testing.assert_allclose(a.tokens, b.tokens, atol=1e-4,
+                                       rtol=1e-4)
 
 
 def test_packed_single_video_full_batch(predictor):
@@ -330,20 +333,26 @@ def test_gt_packed_matches_sequential(tmp_path, predictor):
         return m
 
     videos = [
-        ("vidA", 5, (48, 72), {
+        ("vidA", 5, (48, 72), 13, {
             "1": gt_obj(5, (48, 72), 6, 20, 4, 14),
             "2": gt_obj(5, (48, 72), 24, 40, 30, 42),
         }),
-        ("vidB", 7, (40, 56), {
+        ("vidB", 7, (40, 56), 29, {
             "3": gt_obj(7, (40, 56), 6, 20, 4, 14),
             # absent at frame 2 -> two appearance onsets -> multi-seed
             "4": gt_obj(7, (40, 56), 22, 36, 20, 32, absent=(2,)),
+            # absent frames 0-2 -> SINGLE onset at frame 3: packed slot
+            # with cond > 0 whose forward pass (frames 4..6) needs padding
+            # at scan_chunk=4 — the case where the sequential pass's
+            # ungated padded-tail bank pushes diverged from the packed
+            # (gated, upstream-faithful) semantics before the video.py fix
+            "5": gt_obj(7, (40, 56), 8, 22, 30, 44, absent=(0, 1, 2)),
         }),
     ]
 
     states = {}
-    for vid, t, hw, _ in videos:
-        states[vid] = predictor.init_state(make_video(t, hw, seed=hash(vid) % 100))
+    for vid, t, hw, seed, _ in videos:
+        states[vid] = predictor.init_state(make_video(t, hw, seed=seed))
 
     def collect(root):
         out = {}
@@ -361,7 +370,7 @@ def test_gt_packed_matches_sequential(tmp_path, predictor):
     from sola_tpu.core import mask_ops as mo
 
     seq_root = str(tmp_path / "seq")
-    for vid, t, hw, gts in videos:
+    for vid, t, hw, _seed, gts in videos:
         gt_small = {k: np.asarray(mo.reshape_masklet_auto(
             v.astype(np.float32))) for k, v in gts.items()}
         tokens_gt.run_video(predictor, states[vid], vid, gts, t, seq_root,
@@ -373,13 +382,13 @@ def test_gt_packed_matches_sequential(tmp_path, predictor):
               "n_frames": t,
               "gt_small": {k: np.asarray(mo.reshape_masklet_auto(
                   v.astype(np.float32))) for k, v in gts.items()}}
-             for vid, t, hw, gts in videos]
+             for vid, t, hw, _seed, gts in videos]
     censuses = tokens_gt.run_videos_packed_gt(
         predictor, items, pk_root, "mevis", "train",
         save_prec_rec_iou=True, log=lambda s: None)
 
     a, b = collect(seq_root), collect(pk_root)
-    assert set(a) == set(b) and len(a) >= 8  # 4 objects x (json + npy)
+    assert set(a) == set(b) and len(a) >= 10  # 5 objects x (json + npy)
     for rel in a:
         if rel.endswith(".npy"):
             np.testing.assert_allclose(b[rel], a[rel], atol=1e-5)
@@ -396,5 +405,5 @@ def test_gt_packed_matches_sequential(tmp_path, predictor):
                         np.asarray(list(va[key][gid]), float)
                         if isinstance(va[key][gid], list)
                         else va[key][gid], atol=1e-5)
-    for vid, t, hw, gts in videos:
+    for vid, t, hw, _seed, gts in videos:
         assert set(censuses[vid]) == set(gts)
