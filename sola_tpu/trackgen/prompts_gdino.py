@@ -66,17 +66,17 @@ class PromptGenerator:
             # (frame, expression), prompt_generator.py:132-140)
             pending_g = self.grounding.enqueue_boxes(image, texts)
         self.sam2.set_image(image)
-        feats = (getattr(self.sam2, "_feats", None),
-                 getattr(self.sam2, "_orig_hw", None))
+        feats = (self.sam2.snapshot_features()
+                 if hasattr(self.sam2, "snapshot_features") else None)
         return (image, texts, pending_g, feats)
 
     def harvest(self, pending) -> dict:
         image, texts, pending_g, feats = pending
         # restore this frame's cached features (a later enqueue may have
         # replaced them with the next frame's); fake predictors without the
-        # cache re-encode nothing — they are stateless per predict call
-        if feats[0] is not None:
-            self.sam2._feats, self.sam2._orig_hw = feats
+        # snapshot surface are stateless per predict call
+        if feats is not None:
+            self.sam2.restore_features(feats)
         if pending_g is not None:
             preds_many = self.grounding.harvest_boxes(
                 pending_g, box_threshold=self.box_threshold,
@@ -132,7 +132,7 @@ def generate_video_prompts(prompt_generator: PromptGenerator, frames: list,
     # compute with host post-processing (needs the real predictors' async
     # enqueue/feature-cache surface; test fakes fall back to sequential)
     can_pipeline = (hasattr(prompt_generator.grounding, "enqueue_boxes")
-                    and hasattr(prompt_generator.sam2, "_feats"))
+                    and hasattr(prompt_generator.sam2, "snapshot_features"))
 
     def frame_outputs():
         if not can_pipeline:

@@ -249,6 +249,15 @@ class SAM2ImagePredictor:
         self._feats = self._encode_raw(
             self.compute_variables, jnp.asarray(image, jnp.uint8))
 
+    def snapshot_features(self):
+        """Capture the current image's cached features, so a pipelined
+        caller can ``set_image`` the NEXT frame (enqueueing its encode)
+        and later ``restore_features`` to predict against this one."""
+        return (self._feats, self._orig_hw)
+
+    def restore_features(self, snapshot) -> None:
+        self._feats, self._orig_hw = snapshot
+
     def _scale_coords(self, coords: np.ndarray) -> np.ndarray:
         h, w = self._orig_hw
         s = self.cfg.image_size
