@@ -92,7 +92,13 @@ def generate_tracks_packed(predictor, jobs: Sequence[VideoJob],
         # slot-pack the requests (a request's batch never splits across
         # propagation rounds — its prompts share one conditioning frame
         # and the packed cond pass handles any per-slot cond anyway, but
-        # keeping batches whole preserves the sequential dedup order)
+        # keeping batches whole preserves the sequential dedup order).
+        # Longest-first ordering: a group's scan length is the max of its
+        # slots' pass lengths, so packing similar-length videos together
+        # minimizes the sum of group maxima (padded-idle steps). Per-video
+        # request sequencing is unaffected — each video contributes at
+        # most one request per round.
+        requests.sort(key=lambda r: -jobs[r[0]].n_frames)
         groups, cur, used = [], [], 0
         for req in requests:
             k = len(req[2])

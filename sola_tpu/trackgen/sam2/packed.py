@@ -132,6 +132,25 @@ class PackedPropagator:
 
         self._cond_step = cond_step
 
+        @jax.jit
+        def cond_init(v, feats, gidx, masks, cond_idx):
+            """cond_step + the full initial bank construction fused into
+            ONE dispatch per round (the eager .at/where chain after
+            cond_step was ~6 relay round trips)."""
+            mem, cond_ptr = cond_step(v, feats, gidx, masks)
+            banks = list(predictor._empty_banks())
+            banks[0] = banks[0].at[:, 0].set(mem)
+            banks[1] = banks[1].at[:, 0].set(True)
+            pslot = cond_idx % cfg.max_obj_ptrs
+            poh = jax.nn.one_hot(pslot, cfg.max_obj_ptrs, dtype=bool)
+            banks[5] = jnp.where(poh[..., None],
+                                 cond_ptr.astype(cdt)[:, None], banks[5])
+            banks[6] = jnp.where(poh, cond_idx[:, None], banks[6])
+            banks[7] = banks[7] | poh
+            return tuple(banks), cond_ptr
+
+        self._cond_init = cond_init
+
         def step(v, feats, carry, inputs, reverse: bool):
             (cond_mem, cond_valid, recent_mem, recent_frame, recent_valid,
              obj_ptrs, ptr_frame, ptr_valid, seed_buf, cond_min) = carry
@@ -291,17 +310,10 @@ class PackedPropagator:
         # (fp32 was 4x the link bytes for the same 0/1 content)
         cond_u8 = jnp.asarray(
             (np.asarray(cond_masks) > 0.5).astype(np.uint8))
-        mem, cond_ptr = self._cond_step(v, pack.feats, cond_gidx, cond_u8)
-        banks = list(pred._empty_banks())
-        banks[0] = banks[0].at[:, 0].set(mem)
-        banks[1] = banks[1].at[:, 0].set(True)
-        pslot = jnp.asarray((plan.cond % cfg.max_obj_ptrs).astype(np.int32))
-        poh = jax.nn.one_hot(pslot, cfg.max_obj_ptrs, dtype=bool)
-        banks[5] = jnp.where(poh[..., None],
-                             cond_ptr.astype(self.cdt)[:, None], banks[5])
-        banks[6] = jnp.where(poh, jnp.asarray(plan.cond, jnp.int32)[:, None],
-                             banks[6])
-        banks[7] = banks[7] | poh
+        banks, cond_ptr = self._cond_init(
+            v, pack.feats, cond_gidx, cond_u8,
+            jnp.asarray(plan.cond.astype(np.int32)))
+        banks = list(banks)
 
         h = cfg.feat_hw
         seed0 = jnp.zeros((cfg.num_recent, b, h, h, cfg.mem_dim), self.cdt)

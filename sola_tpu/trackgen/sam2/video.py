@@ -49,6 +49,14 @@ class InferenceState:
     prompts: dict = dataclasses.field(default_factory=dict)
     output_tokens: dict = dataclasses.field(default_factory=dict)
     obj_ids: list = dataclasses.field(default_factory=list)
+    # per-frame device uint8 prompt buffer: uploaded ONCE per batch and
+    # shared by cond consolidation + both passes' cond-frame yields (the
+    # (obj_batch, S, S) buffer is ~8 MB at S=1024 — re-uploading it per
+    # consumer tripled the per-pass link bytes)
+    prompt_dev: dict = dataclasses.field(default_factory=dict)
+    # host-cached cond-frame outputs keyed (frame_idx, output_mode): the
+    # reverse pass re-yields the same cond output the forward pass did
+    cond_host: dict = dataclasses.field(default_factory=dict)
     seed_buf: Optional[jax.Array] = None     # (R, B, h, w, mem) fwd seeds
     seed_frames: Optional[np.ndarray] = None
     # device-resident canonical small masklets, accumulated per pass in
@@ -136,16 +144,6 @@ class SAM2VideoPredictor:
                     "s1": s1.reshape((-1,) + s1.shape[2:])}
 
         self._encode_all_from_raw = jax.jit(_encode_all_from_raw)
-        # prompt masks cross the link as uint8 (the fp32 (obj_batch, S, S)
-        # buffer is 33 MB at obj_batch=8/S=1024 — 4x the bytes for the
-        # same 0/1 content); the cast to float happens in-program
-        self._mask_as_output = jax.jit(
-            lambda v, pix, s0, s1, m: _japply(
-                v, SAM2Model.mask_as_output, pix, s0, s1,
-                m.astype(jnp.float32)))
-        self._encode_memory = jax.jit(
-            lambda v, pix, m: _japply(v, SAM2Model.encode_memory, pix, m))
-
         cdt = self.compute_dtype
 
         # ---- the scan body: one tracked frame ----
@@ -290,6 +288,64 @@ class SAM2VideoPredictor:
         self._resize_pack_small = jax.jit(_resize_pack_small,
                                           static_argnums=(1, 2, 3, 4))
 
+        # cond-frame output in ONE program: the uploaded uint8 prompt
+        # buffer round-trips through +-10 logits -> resize > 0 -> bit-pack
+        # (+ canonical small), replacing a full-res fp32 logit fetch per
+        # pass direction — numerically identical to _resize_logits(.) > 0
+        # because linear resize is affine (resize(20m-10) > 0 <=>
+        # resize(m) > 0.5), the same route packed.py uses for cond frames
+        def _cond_pack(masks, h, w, sh, sw):
+            lo = (masks.astype(jnp.float32) * 20.0 - 10.0)[None]
+            return _resize_pack_small(lo, h, w, sh, sw)
+
+        self._cond_pack_small = jax.jit(_cond_pack,
+                                        static_argnums=(1, 2, 3, 4))
+
+        # conditioning consolidation fused to ONE dispatch per cond frame:
+        # mask-as-output + memory encode + every bank write (the unfused
+        # path issued ~13 eager ops per cond frame — each a relay round
+        # trip in this environment)
+        def _cond_frame_update(v, pix1, s01, s11, masks, slot, fidx, banks):
+            b = self.obj_batch
+            pix = jnp.broadcast_to(pix1.astype(cdt), (b,) + pix1.shape)
+            s0 = jnp.broadcast_to(s01.astype(cdt), (b,) + s01.shape)
+            s1 = jnp.broadcast_to(s11.astype(cdt), (b,) + s11.shape)
+            out = _japply(v, SAM2Model.mask_as_output, pix, s0, s1,
+                          masks.astype(jnp.float32))
+            mem = _japply(v, SAM2Model.encode_memory, pix,
+                          out["high_res_masks"][:, 0])
+            banks = list(banks)
+            banks[0] = banks[0].at[:, slot].set(mem.astype(cdt))
+            banks[1] = banks[1].at[:, slot].set(True)
+            pslot = fidx % cfg.max_obj_ptrs
+            banks[5] = banks[5].at[:, pslot].set(out["obj_ptr"].astype(cdt))
+            banks[6] = banks[6].at[:, pslot].set(fidx)
+            banks[7] = banks[7].at[:, pslot].set(True)
+            return tuple(banks), out["obj_ptr"]
+
+        self._cond_frame_update = jax.jit(_cond_frame_update)
+
+        # reverse-pass recent-ring re-seed as ONE program (the slot-by-slot
+        # eager .at[].set chain was ~3 ops per seed frame)
+        def _reseed_banks(seed_buf, seed_frames, valid):
+            stride = max(cfg.memory_stride, 1)
+            R = cfg.num_recent
+            b = self.obj_batch
+            rec_mem = jnp.zeros((b, R) + seed_buf.shape[2:], seed_buf.dtype)
+            rec_frame = jnp.full((b, R), -10 ** 6, jnp.int32)
+            rec_valid = jnp.zeros((b, R), bool)
+            for i in range(R):
+                f = seed_frames[i]
+                oh = (jax.nn.one_hot((f // stride) % R, R, dtype=bool)
+                      & valid[i])                      # (R,)
+                rec_mem = jnp.where(oh[None, :, None, None, None],
+                                    seed_buf[i][:, None], rec_mem)
+                rec_frame = jnp.where(oh[None, :], f, rec_frame)
+                rec_valid = rec_valid | oh[None, :]
+            return rec_mem, rec_frame, rec_valid
+
+        self._reseed_banks = jax.jit(_reseed_banks)
+
     # ------------------------------------------------------------------
     # Protocol
     # ------------------------------------------------------------------
@@ -349,6 +405,8 @@ class SAM2VideoPredictor:
         state.seed_buf = None
         state.seed_frames = None
         state.small_parts = None
+        state.prompt_dev = {}
+        state.cond_host = {}
 
     def add_new_mask(self, state: InferenceState, frame_idx: int,
                      obj_id: int, mask: np.ndarray):
@@ -363,6 +421,11 @@ class SAM2VideoPredictor:
             mask = resize_nearest_np(np.asarray(mask, np.float32), (s, s))
         mask = (mask > 0.5).astype(np.float32)
         state.prompts.setdefault(int(frame_idx), {})[int(obj_id)] = mask
+        # a new prompt invalidates any cached device buffer / cond output
+        # for this frame (harmless after reset_state, which clears both)
+        state.prompt_dev.pop(int(frame_idx), None)
+        state.cond_host = {k: v for k, v in state.cond_host.items()
+                           if k[0] != int(frame_idx)}
         if obj_id not in state.obj_ids:
             state.obj_ids.append(obj_id)
         if orig_mask.shape == state.orig_hw:
@@ -392,16 +455,6 @@ class SAM2VideoPredictor:
             jnp.zeros((b, cfg.max_obj_ptrs), bool),               # ptr_valid
         )
 
-    def _frame_feats(self, state: InferenceState, frame_idx: int):
-        b = self.obj_batch
-        f = state.features
-
-        def bc(x):
-            y = x[frame_idx].astype(self.compute_dtype)
-            return jnp.broadcast_to(y, (b,) + y.shape)
-
-        return bc(f["pix"]), bc(f["s0"]), bc(f["s1"])
-
     def _prompt_masks(self, state: InferenceState,
                       frame_idx: int) -> np.ndarray:
         s = self.cfg.image_size
@@ -412,27 +465,31 @@ class SAM2VideoPredictor:
                 masks[slot] = m > 0.5
         return masks
 
+    def _prompt_dev(self, state: InferenceState,
+                    frame_idx: int) -> jax.Array:
+        """Device uint8 (obj_batch, S, S) prompt buffer, uploaded once per
+        prompted frame and reused by every consumer in the batch."""
+        dev = state.prompt_dev.get(frame_idx)
+        if dev is None:
+            dev = jnp.asarray(self._prompt_masks(state, frame_idx))
+            state.prompt_dev[frame_idx] = dev
+        return dev
+
     def _run_cond_frames(self, state: InferenceState) -> None:
-        """Consolidate every prompted frame into a conditioning slot."""
+        """Consolidate every prompted frame into a conditioning slot (one
+        fused dispatch per cond frame)."""
         cfg = self.cfg
-        banks = list(self._empty_banks())
+        f = state.features
+        banks = self._empty_banks()
         for slot, frame_idx in enumerate(
                 sorted(state.prompts.keys())[:cfg.max_cond_frames]):
-            pix, s0, s1 = self._frame_feats(state, frame_idx)
-            masks = self._prompt_masks(state, frame_idx)
-            out = self._mask_as_output(self.compute_variables, pix, s0, s1,
-                                       jnp.asarray(masks))
-            mem = self._encode_memory(self.compute_variables, pix,
-                                      out["high_res_masks"][:, 0])
-            banks[0] = banks[0].at[:, slot].set(
-                mem.astype(self.compute_dtype))
-            banks[1] = banks[1].at[:, slot].set(True)
-            pslot = frame_idx % cfg.max_obj_ptrs
-            banks[5] = banks[5].at[:, pslot].set(
-                out["obj_ptr"].astype(self.compute_dtype))
-            banks[6] = banks[6].at[:, pslot].set(frame_idx)
-            banks[7] = banks[7].at[:, pslot].set(True)
-            state.output_tokens[frame_idx] = out["obj_ptr"]
+            masks_dev = self._prompt_dev(state, frame_idx)
+            banks, obj_ptr = self._cond_frame_update(
+                self.compute_variables, f["pix"][frame_idx],
+                f["s0"][frame_idx], f["s1"][frame_idx], masks_dev,
+                jnp.asarray(slot, jnp.int32),
+                jnp.asarray(frame_idx, jnp.int32), banks)
+            state.output_tokens[frame_idx] = obj_ptr
         state.banks = tuple(banks)
 
     def propagate_in_video(self, state: InferenceState,
@@ -471,31 +528,44 @@ class SAM2VideoPredictor:
         n_obj = len(state.obj_ids)
 
         # conditioning-frame output: the consolidated prompt (upstream yields
-        # the prompt-based output for cond frames)
-        prompt_logits = jnp.asarray(
-            self._prompt_masks(state, cond_idx)).astype(
-                jnp.float32) * 20.0 - 10.0
-        cond_dev = _resize_logits(prompt_logits[:n_obj], state.orig_hw)
-        cond_out = np.asarray(cond_dev)
-        if output_mode == "masks":
-            # canonical small stays on device alongside the host fetch
+        # the prompt-based output for cond frames). Fetched once per batch
+        # (both pass directions yield the same cond output — cond_host
+        # caches the forward pass's fetch for the reverse pass).
+        oh_, ow_ = state.orig_hw
+        if output_mode == "none":
+            # nothing is fetched in this mode (docstring contract)
+            yield (cond_idx, list(state.obj_ids), None)
+        elif output_mode == "masks":
             from sola_tpu.core import mask_ops
-            sh, sw = mask_ops.reshape_hw(*state.orig_hw)
+            sh, sw = mask_ops.reshape_hw(oh_, ow_)
             if state.small_parts is None:
                 state.small_parts = []
-            # both pass directions yield the cond output (upstream
-            # contract); record its small once
-            if not any(len(p[0]) == 1 and p[0][0] == cond_idx
-                       for p in state.small_parts):
-                state.small_parts.append((
-                    np.asarray([cond_idx]),
-                    mask_ops.reshape_masklet(
-                        (cond_dev > 0.0).astype(jnp.float32),
-                        (sh, sw)).astype(bool)[None]))
-            yield (cond_idx, list(state.obj_ids),
-                   (cond_out > 0.0).astype(np.uint8))
+            cached = state.cond_host.get((cond_idx, "masks"))
+            if cached is None:
+                masks_dev = self._prompt_dev(state, cond_idx)
+                packed, small = self._cond_pack_small(
+                    masks_dev[:n_obj], oh_, ow_, sh, sw)
+                # record the canonical small once (device-resident)
+                if not any(len(p[0]) == 1 and p[0][0] == cond_idx
+                           for p in state.small_parts):
+                    state.small_parts.append((np.asarray([cond_idx]),
+                                              small))
+                packed_np = np.asarray(packed)      # 1 bit/pixel fetch
+                cached = np.unpackbits(
+                    packed_np.reshape(n_obj, -1), axis=1).reshape(
+                        n_obj, oh_, -1)[..., :ow_]
+                state.cond_host[(cond_idx, "masks")] = cached
+            yield (cond_idx, list(state.obj_ids), cached)
         else:
-            yield (cond_idx, list(state.obj_ids), cond_out[:, None])
+            cached = state.cond_host.get((cond_idx, "logits"))
+            if cached is None:
+                masks_dev = self._prompt_dev(state, cond_idx)
+                prompt_logits = (masks_dev.astype(jnp.float32)
+                                 * 20.0 - 10.0)
+                cached = np.asarray(_resize_logits(prompt_logits[:n_obj],
+                                                   state.orig_hw))
+                state.cond_host[(cond_idx, "logits")] = cached
+            yield (cond_idx, list(state.obj_ids), cached[:, None])
         if len(frame_idxs) == 0:
             return
 
@@ -505,16 +575,20 @@ class SAM2VideoPredictor:
         banks = list(state.banks)
         if reverse:
             # re-seed the recent ring with post-cond forward memories
-            banks[2] = jnp.zeros_like(banks[2])
-            banks[3] = jnp.full_like(banks[3], -10 ** 6)
-            banks[4] = jnp.zeros_like(banks[4])
+            # (one fused program; empty ring when no forward pass ran)
             if state.seed_buf is not None and state.seed_frames is not None:
-                stride = max(cfg.memory_stride, 1)
-                for i, fidx in enumerate(state.seed_frames):
-                    slot = (int(fidx) // stride) % cfg.num_recent
-                    banks[2] = banks[2].at[:, slot].set(state.seed_buf[i])
-                    banks[3] = banks[3].at[:, slot].set(int(fidx))
-                    banks[4] = banks[4].at[:, slot].set(True)
+                R = cfg.num_recent
+                sf = np.zeros((R,), np.int32)
+                sv = np.zeros((R,), bool)
+                k = len(state.seed_frames)
+                sf[:k] = state.seed_frames
+                sv[:k] = True
+                banks[2], banks[3], banks[4] = self._reseed_banks(
+                    state.seed_buf, jnp.asarray(sf), jnp.asarray(sv))
+            else:
+                banks[2] = jnp.zeros_like(banks[2])
+                banks[3] = jnp.full_like(banks[3], -10 ** 6)
+                banks[4] = jnp.zeros_like(banks[4])
         seed_buf = jnp.zeros((cfg.num_recent, b, h, h, cfg.mem_dim),
                              self.compute_dtype)
         carry = tuple(banks) + (seed_buf, jnp.asarray(cond_idx, jnp.int32))

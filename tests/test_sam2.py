@@ -161,3 +161,70 @@ def test_encode_frames_device_matches_init_state(video_predictor):
             np.asarray(state.features[k], np.float32),
             np.asarray(f2[k], np.float32), atol=1e-6,
             err_msg=k)
+
+
+def test_masks_mode_matches_logits_mode(video_predictor):
+    """output_mode="masks" (bit-packed device fetch, incl. the cond-frame
+    path through _cond_pack_small) == binarized "logits" outputs, frame
+    for frame, in both pass directions."""
+    pred = video_predictor
+    frames = make_video()
+    mask = np.zeros((64, 64), np.float32)
+    mask[20:36, 8:20] = 1
+
+    def run(mode):
+        state = pred.init_state(frames)
+        pred.add_new_mask(state, 0, 0, mask)
+        out = {}
+        for rev in (False, True):
+            for fidx, _, o in pred.propagate_in_video(
+                    state, reverse=rev, output_mode=mode):
+                if mode == "masks":
+                    out[fidx] = o.astype(bool)
+                else:
+                    out[fidx] = np.asarray(o)[:, 0] > 0.0
+        return out
+
+    a, b = run("masks"), run("logits")
+    assert sorted(a) == sorted(b)
+    for f in a:
+        np.testing.assert_array_equal(a[f], b[f], err_msg=f"frame {f}")
+
+
+def test_prompt_cache_invalidation(video_predictor):
+    """add_new_mask after a propagation (no reset_state) must invalidate
+    the cached device prompt buffer and cond-frame output — the cond yield
+    reflects the NEW prompt, as the uncached path did."""
+    pred = video_predictor
+    frames = make_video()
+    state = pred.init_state(frames)
+    m1 = np.zeros((64, 64), np.float32)
+    m1[20:36, 8:20] = 1
+    pred.add_new_mask(state, 0, 0, m1)
+    for fidx, _, o in pred.propagate_in_video(state, output_mode="masks"):
+        if fidx == 0:
+            np.testing.assert_array_equal(o[0] > 0, m1 > 0.5)
+
+    m2 = np.zeros((64, 64), np.float32)
+    m2[40:56, 30:44] = 1
+    pred.add_new_mask(state, 0, 0, m2)  # replaces obj 0's prompt
+    assert 0 not in state.prompt_dev and not state.cond_host
+    for fidx, _, o in pred.propagate_in_video(state, output_mode="masks"):
+        if fidx == 0:
+            np.testing.assert_array_equal(o[0] > 0, m2 > 0.5)
+
+
+def test_none_mode_fetches_nothing(video_predictor):
+    """output_mode="none" yields None for every frame (cond included) and
+    leaves output_tokens for the scan frames unfetched."""
+    pred = video_predictor
+    frames = make_video()
+    state = pred.init_state(frames)
+    mask = np.zeros((64, 64), np.float32)
+    mask[20:36, 8:20] = 1
+    pred.add_new_mask(state, 0, 0, mask)
+    seen = []
+    for fidx, _, o in pred.propagate_in_video(state, output_mode="none"):
+        assert o is None
+        seen.append(fidx)
+    assert seen == [0, 1, 2, 3, 4, 5]
