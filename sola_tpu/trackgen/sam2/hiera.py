@@ -101,6 +101,13 @@ class MultiScaleAttention(nn.Module):
     dim_out: int
     num_heads: int
     q_pool: bool = False
+    # route long token sequences (the global-attention blocks: 4096 tokens
+    # at 1024px) through the Pallas flash kernel — dense sdpa materializes
+    # a (B, heads, L, L) score matrix (~0.5 GB/frame/block at hiera-L),
+    # pure HBM traffic the fused kernel never writes. Windowed blocks
+    # (<=256 tokens) stay dense: their score tiles live in registers/VMEM
+    # anyway and the kernel's grid overhead would dominate.
+    fused_min_tokens: int = 1024
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -114,8 +121,12 @@ class MultiScaleAttention(nn.Module):
             q = _maxpool2x2(q)
             h, w = q.shape[1], q.shape[2]
             q = q.reshape(b, h * w, self.num_heads, head_dim)
-        out = sdpa(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-                   v.transpose(0, 2, 1, 3))
+        qh, kh, vh = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+        if kh.shape[2] >= self.fused_min_tokens and head_dim % 8 == 0:
+            from sola_tpu.ops.flash_attention import fused_attention
+            out = fused_attention(qh, kh, vh, block_q=512, block_k=512)
+        else:
+            out = sdpa(qh, kh, vh)
         out = out.transpose(0, 2, 1, 3).reshape(b, h, w, self.dim_out)
         return nn.Dense(self.dim_out, name="proj")(out)
 

@@ -228,3 +228,21 @@ def test_none_mode_fetches_nothing(video_predictor):
         assert o is None
         seen.append(fidx)
     assert seen == [0, 1, 2, 3, 4, 5]
+
+
+def test_hiera_global_attention_fused_matches_dense():
+    """The flash-kernel route for long-sequence (global) Hiera attention
+    must match the dense sdpa path (hiera.py MultiScaleAttention routes
+    L >= fused_min_tokens through ops.flash_attention)."""
+    from sola_tpu.trackgen.sam2.hiera import MultiScaleAttention
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 32, 32, 48),
+                          jnp.float32)
+    fused = MultiScaleAttention(dim_out=48, num_heads=2,
+                                fused_min_tokens=1024)
+    dense = MultiScaleAttention(dim_out=48, num_heads=2,
+                                fused_min_tokens=1 << 30)
+    params = fused.init(jax.random.PRNGKey(4), x)
+    np.testing.assert_allclose(
+        np.asarray(fused.apply(params, x)),
+        np.asarray(dense.apply(params, x)), atol=2e-5, rtol=1e-5)
