@@ -286,3 +286,61 @@ def test_evaluator_parity(eval_workspace):
                     f"{mine[k]} vs {entry[k]}")
     for k in ("mean_J", "mean_F", "mean_JF"):
         assert abs(our_metrics[k] - ref_metrics[k]) < 1e-6, k
+
+
+# config fuzz: the default-config parity above pins ONE point in config
+# space; these sweep the config surface the reference derives shapes from
+# (conv chain dims, PE width, head split, group counts, negative-token
+# count) so a misreading that happens to cancel at the shipped values
+# cannot hide. Dims are small to keep CPU runtime low; constraints are the
+# reference's own: lang_token_dim % 8 == 0 (fixed num_heads=8),
+# lang_token_dim % n_groups{,_module} == 0, (2*object_token_dim) % n_groups
+# == 0, lang even (sin/cos PE halves).
+FUZZ_CFGS = [
+    # (cfg overrides, b, n, t, w)
+    (dict(object_token_dim=32, lang_token_dim=64, n_layers=1,
+          max_temporal_length=50, n_negative=4, n_groups=4,
+          n_groups_module=8), 1, 3, 17, 5),
+    (dict(object_token_dim=48, lang_token_dim=96, n_layers=3,
+          max_temporal_length=77, n_negative=16, n_groups=8,
+          n_groups_module=4), 1, 7, 41, 11),
+    (dict(object_token_dim=64, lang_token_dim=128, n_layers=2,
+          max_temporal_length=100, n_negative=1, n_groups=2,
+          n_groups_module=16), 2, 4, 8, 3),
+    (dict(object_token_dim=16, lang_token_dim=32, n_layers=2,
+          max_temporal_length=13, n_negative=32, n_groups=1,
+          n_groups_module=1), 1, 1, 1, 1),  # degenerate single everything
+]
+
+
+@pytest.mark.parametrize("overrides,b,n,t,w",
+                         FUZZ_CFGS,
+                         ids=[f"fuzz{i}" for i in range(len(FUZZ_CFGS))])
+def test_forward_parity_config_fuzz(overrides, b, n, t, w, rng):
+    import jax
+
+    cfg_dict = dict(FULL_CFG)
+    cfg_dict.update(overrides)
+    cfg = SelectionConfig.from_dict(cfg_dict)
+    model = SelectionModel(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(11),
+        jnp.zeros((1, 2, 8, cfg.object_token_dim), jnp.float32),
+        jnp.zeros((1, 3, cfg.lang_token_dim), jnp.float32))
+    state_dict = params_to_torch_state_dict(
+        {"params": variables["params"], "buffers": variables["buffers"]},
+        n_layers=cfg.n_layers)
+    ref_model = reference_oracle.build_reference_model(cfg_dict, state_dict)
+
+    obj = rng.standard_normal((b, n, t, cfg.object_token_dim),
+                              dtype=np.float32)
+    lang = rng.standard_normal((b, w, cfg.lang_token_dim), dtype=np.float32)
+    with torch.no_grad():
+        ref_map, ref_tokens = ref_model(torch.as_tensor(obj),
+                                        torch.as_tensor(lang))
+    out_map, out_tokens = model.apply(variables, jnp.asarray(obj),
+                                      jnp.asarray(lang))
+    np.testing.assert_allclose(np.asarray(out_map), ref_map.numpy(),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_tokens), ref_tokens.numpy(),
+                               atol=1e-4, rtol=1e-4)
