@@ -344,3 +344,96 @@ def test_forward_parity_config_fuzz(overrides, b, n, t, w, rng):
                                atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(out_tokens), ref_tokens.numpy(),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_gradient_parity_vs_reference():
+    """Full training-step GRADIENT parity against the reference's own
+    backward: d(total loss)/d(param) for every parameter, through the
+    name/layout mapping of the exporter. Exercises the WS-conv, GroupNorm,
+    and attention backwards plus the loss's argmax hard-negative masking
+    (train.py:98-125, tools/loss.py:14-58). Dropout off on both sides
+    (gradient parity is only defined deterministically)."""
+    import jax
+
+    from sola_tpu.train import loss as loss_lib
+
+    cfg_dict = dict(FULL_CFG)
+    cfg_dict.update(object_token_dim=32, lang_token_dim=64, n_layers=2,
+                    n_negative=8, n_groups=4, n_groups_module=8,
+                    dropout_p=0.0)
+    cfg = SelectionConfig.from_dict(cfg_dict)
+    model = SelectionModel(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(21),
+        jnp.zeros((1, 2, 8, cfg.object_token_dim), jnp.float32),
+        jnp.zeros((1, 3, cfg.lang_token_dim), jnp.float32))
+    state_dict = params_to_torch_state_dict(
+        {"params": variables["params"], "buffers": variables["buffers"]},
+        n_layers=cfg.n_layers)
+    ref_model = reference_oracle.build_reference_model(cfg_dict, state_dict)
+    # eval(): the reference attention hardcodes train-only SDPA dropout 0.1
+    # (tools/attention.py:71) independent of configs' dropout_p — eval mode
+    # is the deterministic path; torch still builds the graph and backprops
+    ref_model.eval()
+
+    rng = np.random.default_rng(99)
+    b, n, t, w = 1, 5, 23, 6
+    obj = rng.standard_normal((b, n, t, cfg.object_token_dim),
+                              dtype=np.float32)
+    lang = rng.standard_normal((b, w, cfg.lang_token_dim), dtype=np.float32)
+    pos = rng.standard_normal((b, 1, cfg.lang_token_dim), dtype=np.float32)
+    labels = np.array([[1.0, 0.0, 1.0, 0.0, 0.0]], np.float32)
+    positive_weight, temperature, alignment_weight = 1.5, 0.07, 0.3
+
+    # ---- reference backward (train.py:96-117) ----
+    ref = reference_oracle.load_reference()
+    align_fn = ref["loss"].AlignmentLoss(positive_weight=positive_weight,
+                                         temperature=temperature)
+    obj_t = torch.as_tensor(obj)
+    lang_t = torch.as_tensor(lang)
+    labels_t = torch.as_tensor(labels)
+    score_logits_t, score_tokens_t = ref_model(obj_t, lang_t)
+    weight = torch.ones_like(labels_t)
+    weight[labels_t > 0] = positive_weight
+    bce_t = torch.nn.functional.binary_cross_entropy_with_logits(
+        input=score_logits_t, target=labels_t, weight=weight)
+    neg_t = ref_model.negative_token.weight.clone().unsqueeze(0)
+    align_t = align_fn(object_tokens=score_tokens_t, labels=labels_t,
+                       pos_tokens=torch.as_tensor(pos), neg_tokens=neg_t)
+    total_t = bce_t + alignment_weight * align_t
+    total_t.backward()
+    ref_grads = {name: p.grad.detach().numpy()
+                 for name, p in ref_model.named_parameters()
+                 if p.grad is not None}
+
+    # ---- our backward (train/loop.py loss_fn) ----
+    def loss_fn(params):
+        score_logits, score_tokens = model.apply(
+            {"params": params, "buffers": variables["buffers"]},
+            jnp.asarray(obj), jnp.asarray(lang), deterministic=True)
+        neg = jnp.broadcast_to(params["negative_token"][None],
+                               (b,) + params["negative_token"].shape)
+        loss, _ = loss_lib.total_loss(
+            score_logits, score_tokens, jnp.asarray(labels),
+            jnp.asarray(pos), neg, temperature=temperature,
+            positive_weight=positive_weight,
+            alignment_weight=alignment_weight)
+        return loss
+
+    our_loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    np.testing.assert_allclose(float(our_loss), float(total_t.detach()),
+                               atol=1e-5, rtol=1e-5)
+
+    # grads transform exactly like params under the exporter's pure
+    # rename/transpose mapping; buffers carry no grads (skip them)
+    grad_sd = params_to_torch_state_dict(
+        {"params": grads, "buffers": variables["buffers"]},
+        n_layers=cfg.n_layers)
+    compared = 0
+    for name, ref_g in ref_grads.items():
+        ours = np.asarray(grad_sd[name])
+        np.testing.assert_allclose(
+            ours, ref_g, atol=2e-5, rtol=1e-3,
+            err_msg=f"gradient diverges at {name}")
+        compared += 1
+    assert compared == len(ref_grads) and compared >= 20
