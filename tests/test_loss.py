@@ -127,3 +127,40 @@ def test_plateau_schedule_matches_torch():
         torch_lr = opt.param_groups[0]["lr"]
         np.testing.assert_allclose(ours_lr, torch_lr, rtol=1e-9,
                                    err_msg=f"metric {m}")
+
+
+def test_adamw_clip_trajectory_matches_torch():
+    """Our optimizer chain (clip_by_global_norm -> adamw, state.py:38-46)
+    must track torch's clip_grad_norm_ + AdamW trajectory (train.py:44-49,
+    120-125) step for step, including steps where the clip triggers and
+    a mid-run plateau LR drop."""
+    import optax
+    from sola_tpu.train.state import make_optimizer, set_learning_rate
+
+    rng = np.random.default_rng(5)
+    w0 = rng.standard_normal((4, 3)).astype(np.float32)
+    grads = [rng.standard_normal((4, 3)).astype(np.float32) * s
+             for s in (0.1, 5.0, 0.5, 20.0, 0.01, 3.0)]  # some trip the clip
+    lr0, clip, wd = 5e-6, 1.0, 0.01
+
+    p = torch.nn.Parameter(torch.as_tensor(w0.copy()))
+    opt = torch.optim.AdamW([p], lr=lr0, weight_decay=wd)
+    ours = make_optimizer(lr0, grad_clip_norm=clip, weight_decay=wd)
+    params = {"w": jnp.asarray(w0)}
+    opt_state = ours.init(params)
+
+    for i, g in enumerate(grads):
+        if i == 3:  # plateau-style LR drop mid-run
+            for group in opt.param_groups:
+                group["lr"] = lr0 * 0.5
+            opt_state = set_learning_rate(opt_state, lr0 * 0.5)
+        opt.zero_grad()
+        p.grad = torch.as_tensor(g.copy())
+        torch.nn.utils.clip_grad_norm_([p], clip)
+        opt.step()
+        updates, opt_state = ours.update({"w": jnp.asarray(g)}, opt_state,
+                                         params)
+        params = optax.apply_updates(params, updates)
+        np.testing.assert_allclose(
+            np.asarray(params["w"]), p.detach().numpy(), atol=1e-7,
+            rtol=1e-5, err_msg=f"diverged at step {i}")
