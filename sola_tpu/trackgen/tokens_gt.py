@@ -115,6 +115,11 @@ def run_videos_packed_gt(predictor, items, track_root: str, dataset: str,
             units.append((vi, anno_id, seeds))
     packed_units = [u for u in units if len(u[2]) == 1]
     multi_units = [u for u in units if len(u[2]) > 1]
+    # longest-first: a round's scan length is the max of its slots' video
+    # lengths, so grouping similar-length videos minimizes padded idle
+    # steps (same policy as packed_engine's request packing). Artifact
+    # content is per-object and unaffected by round membership.
+    packed_units.sort(key=lambda u: -items[u[0]]["n_frames"])
 
     def finish(vi, anno_id, out, elapsed):
         it = items[vi]
