@@ -1,0 +1,448 @@
+"""Orchestration parity against the reference's OWN track-generation script.
+
+`tests/test_reference_parity.py` proves model/loss/eval parity by importing
+the reference's torch modules. This file goes one layer up: it RUNS the
+reference's `generate_prompts_grid.py` script end to end (subprocess,
+pycocotools/cv2 shimmed, SAM2 replaced by a deterministic fake package) and
+our `prompts_grid` CLI on the same on-disk dataset with the same fake
+proposals, then diffs the prompt JSON artifacts exactly. Covered reference
+semantics: frame binning incl. the bin_size==0 eval mode
+(generate_prompts_grid.py:80-85), per-frame area sort + partness suppression
+with its self-clearing pivot loop (:105-116), RLE schema, global area sort
+and prompt_id assignment (:118-137), and pid sharding (:72).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+from PIL import Image
+
+torch = pytest.importorskip("torch")
+
+REF_SCRIPT = "/root/reference/track_generation/generate_prompts_grid.py"
+pytestmark = pytest.mark.skipif(not os.path.exists(REF_SCRIPT),
+                                reason="/root/reference not present")
+
+
+def _make_dataset(root: str) -> None:
+    """Two tiny videos with channel-rectangle frames (one all-black frame)."""
+    base = os.path.join(root, "datasets/mevis/valid_u/JPEGImages")
+    specs = {"video_a": 7, "video_b": 5}
+    rng = np.random.default_rng(17)
+    for vi, (vid, n) in enumerate(sorted(specs.items())):
+        d = os.path.join(base, vid)
+        os.makedirs(d, exist_ok=True)
+        for f in range(n):
+            frame = np.zeros((24, 32, 3), np.uint8)
+            if not (vi == 0 and f == 3):  # leave one frame empty
+                r0, c0 = 2 + (f % 4), 3 + (f % 5)
+                frame[r0:r0 + 6 + f % 3, c0:c0 + 9, 0] = 200
+                if f % 2 == 0:
+                    frame[10:18, 8 + vi:20, 1] = 220
+                if (f + vi) % 3 == 0:
+                    frame[1:5, 26:31, 2] = 255
+                # speckle to vary areas/ties
+                noise = rng.random((24, 32)) > 0.97
+                frame[..., 0][noise] = 210
+            Image.fromarray(frame).save(os.path.join(d, f"{f:05d}.png"))
+
+
+def _run_reference(workdir: str, bin_size: int, pid=0, n_pid=1) -> None:
+    """Run the reference script in `workdir` with sam2/pycocotools/cv2
+    faked; artifacts land in workdir/sam2_prompts/..."""
+    fake_pkg = os.path.join(workdir, "_fake_pkgs")
+    sam2_dir = os.path.join(fake_pkg, "sam2")
+    os.makedirs(sam2_dir, exist_ok=True)
+    open(os.path.join(sam2_dir, "__init__.py"), "w").close()
+    with open(os.path.join(sam2_dir, "build_sam.py"), "w") as f:
+        f.write("def build_sam2(cfg, ckpt, device=None, "
+                "apply_postprocess=True):\n    return None\n")
+    with open(os.path.join(sam2_dir, "automatic_mask_generator.py"),
+              "w") as f:
+        f.write(textwrap.dedent("""\
+            import sys
+            sys.path.insert(0, "/root/repo")
+            from tests.fake_amg_backend import fake_mask_infos
+
+
+            class SAM2AutomaticMaskGenerator:
+                def __init__(self, model, **kw):
+                    pass
+
+                def generate(self, frame):
+                    return fake_mask_infos(frame)
+            """))
+
+    driver = os.path.join(workdir, "_driver.py")
+    with open(driver, "w") as f:
+        f.write(textwrap.dedent(f"""\
+            import sys, types
+            import numpy as np
+            sys.path.insert(0, "/root/repo")
+            from sola_tpu.core import rle as _rle
+
+            mask_mod = types.ModuleType("pycocotools.mask")
+
+            def _encode(arr):
+                e = _rle.encode(np.asarray(arr))
+                # pycocotools returns bytes counts; the reference decodes
+                # them to utf-8 (track_generation/utils.py:22)
+                return {{"size": e["size"], "counts": e["counts"].encode()}}
+
+            mask_mod.encode = _encode
+            mask_mod.decode = _rle.decode
+            mask_mod.area = _rle.area
+            pkg = types.ModuleType("pycocotools")
+            pkg.mask = mask_mod
+            sys.modules["pycocotools"] = pkg
+            sys.modules["pycocotools.mask"] = mask_mod
+            sys.modules["cv2"] = types.ModuleType("cv2")
+
+            sys.path.insert(0, {fake_pkg!r})
+            sys.path.insert(0, "/root/reference/track_generation")
+            sys.argv = ["generate_prompts_grid.py",
+                        "--dataset", "mevis", "--data_type", "valid_u",
+                        "--bin_size", "{bin_size}",
+                        "--pid", "{pid}", "--n_pid", "{n_pid}"]
+            import runpy
+            runpy.run_path({REF_SCRIPT!r}, run_name="__main__")
+            """))
+    env = dict(os.environ, PYTHONPATH="")
+    proc = subprocess.run([sys.executable, driver], cwd=workdir,
+                          capture_output=True, text=True, env=env,
+                          timeout=600)
+    assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
+
+
+def _run_ours(workdir: str, bin_size: int, pid=0, n_pid=1) -> None:
+    from sola_tpu.trackgen import prompts_grid
+    from tests.fake_amg_backend import FakeAMG
+
+    prompts_grid.main(
+        ["--dataset", "mevis", "--data_type", "valid_u",
+         "--bin_size", str(bin_size), "--pid", str(pid),
+         "--n_pid", str(n_pid),
+         "--data_root", workdir, "--output_root", workdir],
+        amg_factory=FakeAMG)
+
+
+def _load_artifacts(workdir: str) -> dict:
+    d = os.path.join(workdir, "sam2_prompts/grid_prompts/mevis/valid_u")
+    out = {}
+    for name in sorted(os.listdir(d)):
+        with open(os.path.join(d, name)) as f:
+            out[name] = json.load(f)
+    return out
+
+
+@pytest.mark.parametrize("bin_size,pid,n_pid", [(3, 0, 1), (0, 0, 1),
+                                                (3, 1, 2)])
+def test_grid_prompts_match_reference_script(tmp_path, bin_size, pid, n_pid):
+    ref_dir = tmp_path / f"ref_{bin_size}_{pid}"
+    our_dir = tmp_path / f"ours_{bin_size}_{pid}"
+    for d in (ref_dir, our_dir):
+        _make_dataset(str(d))
+    _run_reference(str(ref_dir), bin_size, pid, n_pid)
+    _run_ours(str(our_dir), bin_size, pid, n_pid)
+
+    ref = _load_artifacts(str(ref_dir))
+    ours = _load_artifacts(str(our_dir))
+    assert set(ref) == set(ours) and ref, "artifact sets differ"
+    for name in ref:
+        r, o = ref[name], ours[name]
+        assert r["video_id"] == o["video_id"]
+        assert r["bin_size"] == o["bin_size"], name
+        assert len(r["prompt_masks"]) == len(o["prompt_masks"]), (
+            f"{name}: {len(r['prompt_masks'])} vs {len(o['prompt_masks'])}")
+        for rp, op in zip(r["prompt_masks"], o["prompt_masks"]):
+            assert rp["segmentation"]["counts"] == \
+                op["segmentation"]["counts"], (name, rp["prompt_id"])
+            assert rp["segmentation"]["size"] == op["segmentation"]["size"]
+            for k in ("area", "frame_idx", "prompt_id"):
+                assert rp[k] == op[k], (name, k, rp[k], op[k])
+            assert abs(rp["stability_score"] - op["stability_score"]) < 1e-12
+            assert abs(rp["area_ratio"] - op["area_ratio"]) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: generate_tokens_grid.py — the core track-generation loop
+# ---------------------------------------------------------------------------
+
+def _make_tokens_dataset(root: str) -> None:
+    """Frames engineered for the shared fake tracker (velocity 2 px/frame in
+    x): the red rectangle genuinely moves 2 px/frame (its later prompts are
+    exact masklet duplicates -> dedup), the green rectangle is static (its
+    later prompts diverge from the rolled masklet -> new tracks), blue
+    appears only at frame 4 (late new track). video_b is portrait
+    (h > w -> the reference's (960, 540) reshape branch)."""
+    for vid, (h, w, n) in (("video_a", (24, 32, 7)),
+                           ("video_b", (40, 28, 5))):
+        d = os.path.join(root, "datasets/mevis/valid_u/JPEGImages", vid)
+        os.makedirs(d, exist_ok=True)
+        for f in range(n):
+            frame = np.zeros((h, w, 3), np.uint8)
+            frame[2:9, 3 + 2 * f:10 + 2 * f, 0] = 200      # red, moving
+            frame[h - 8:h - 2, 2:10, 1] = 220               # green, static
+            if f == 4:
+                frame[1:5, w - 6:w - 1, 2] = 255            # blue, late
+            Image.fromarray(frame).save(os.path.join(d, f"{f:05d}.png"))
+    meta = {"videos": {v: {"frames": [], "expressions": {}}
+                       for v in ("video_a", "video_b")}}
+    with open(os.path.join(root, "datasets/mevis/valid_u",
+                           "meta_expressions.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def _make_prompts(root: str) -> None:
+    """Stage-1 artifacts (bin_size 2, prompts at frames 0/2/4/...) crafted
+    from the frames so both pipelines read IDENTICAL prompt JSONs."""
+    sys.path.insert(0, "/root/repo")
+    from sola_tpu.core import rle as rle_lib
+
+    base = os.path.join(root, "datasets/mevis/valid_u/JPEGImages")
+    out_dir = os.path.join(root, "sam2_prompts/grid_prompts/mevis/valid_u")
+    os.makedirs(out_dir, exist_ok=True)
+    for vid in sorted(os.listdir(base)):
+        d = os.path.join(base, vid)
+        names = sorted(os.listdir(d))
+        prompts = []
+        for f in range(0, len(names), 2):
+            frame = np.asarray(Image.open(os.path.join(d, names[f])))
+            for c in range(3):
+                m = frame[..., c] > 127
+                a = int(m.sum())
+                if a == 0:
+                    continue
+                prompts.append({
+                    "segmentation": rle_lib.encode(m.astype(np.uint8)),
+                    "stability_score": 0.9 + 0.01 * c,
+                    "area": a,
+                    "area_ratio": a / float(m.size),
+                    "frame_idx": f,
+                })
+        prompts.sort(key=lambda x: x["area"], reverse=True)
+        for pid, p in enumerate(prompts):
+            p["prompt_id"] = pid
+        with open(os.path.join(out_dir, f"{vid}.json"), "w") as f:
+            json.dump({"video_id": vid, "bin_size": 2,
+                       "prompt_masks": prompts}, f, indent=4)
+
+
+def _run_reference_tokens(workdir: str, bin_size: int, batch_size: int,
+                          n_max: int) -> None:
+    fake_pkg = os.path.join(workdir, "_fake_pkgs")
+    sam2_dir = os.path.join(fake_pkg, "sam2")
+    os.makedirs(sam2_dir, exist_ok=True)
+    open(os.path.join(sam2_dir, "__init__.py"), "w").close()
+    with open(os.path.join(sam2_dir, "build_sam.py"), "w") as f:
+        f.write(textwrap.dedent("""\
+            import os
+            import sys
+
+            import numpy as np
+            import torch
+            from PIL import Image
+
+            sys.path.insert(0, "/root/repo")
+            from sola_tpu.trackgen.protocol import FakeVideoPredictor
+
+
+            def build_sam2(*a, **kw):
+                return None
+
+
+            def build_sam2_video_predictor(cfg, ckpt, device=None, **kw):
+                return _TorchAdapter(FakeVideoPredictor())
+
+
+            class _TorchAdapter:
+                '''Upstream SAM2VideoPredictor protocol (torch tensors +
+                the inference_state["output_dict"] internals the reference
+                reaches into, generate_tokens_grid.py:227-237) around the
+                repo's deterministic FakeVideoPredictor.'''
+
+                def __init__(self, inner):
+                    self.inner = inner
+
+                def init_state(self, video_path):
+                    names = sorted(os.listdir(video_path))
+                    first = np.asarray(
+                        Image.open(os.path.join(video_path, names[0])))
+                    st = self.inner.init_state(num_frames=len(names),
+                                               hw=first.shape[:2])
+                    return {"_fake": st, "output_dict": {
+                        "cond_frame_outputs": {},
+                        "non_cond_frame_outputs": {}}}
+
+                def reset_state(self, state):
+                    self.inner.reset_state(state["_fake"])
+                    state["output_dict"] = {"cond_frame_outputs": {},
+                                            "non_cond_frame_outputs": {}}
+
+                def add_new_mask(self, inference_state, frame_idx, obj_id,
+                                 mask):
+                    f, ids, logits = self.inner.add_new_mask(
+                        inference_state["_fake"], frame_idx, obj_id,
+                        np.asarray(mask))
+                    return f, ids, torch.from_numpy(np.asarray(logits))
+
+                def propagate_in_video(self, inference_state,
+                                       reverse=False):
+                    st = inference_state["_fake"]
+                    od = inference_state["output_dict"]
+                    cond = min(st.prompts.keys())
+                    for f, ids, logits in self.inner.propagate_in_video(
+                            st, reverse=reverse):
+                        key = ("cond_frame_outputs" if f == cond
+                               else "non_cond_frame_outputs")
+                        od[key][f] = {
+                            "obj_ptr": torch.from_numpy(st.tokens[f])}
+                        yield f, ids, torch.from_numpy(logits)
+            """))
+
+    driver = os.path.join(workdir, "_driver_tokens.py")
+    with open(driver, "w") as f:
+        f.write(textwrap.dedent(f"""\
+            import argparse
+            import sys, types
+            import numpy as np
+            sys.path.insert(0, "/root/repo")
+            from sola_tpu.core import rle as _rle
+
+            mask_mod = types.ModuleType("pycocotools.mask")
+
+            def _encode(arr):
+                e = _rle.encode(np.asarray(arr))
+                return {{"size": e["size"], "counts": e["counts"].encode()}}
+
+            mask_mod.encode = _encode
+            mask_mod.decode = _rle.decode
+            mask_mod.area = _rle.area
+            pkg = types.ModuleType("pycocotools")
+            pkg.mask = mask_mod
+            sys.modules["pycocotools"] = pkg
+            sys.modules["pycocotools.mask"] = mask_mod
+            sys.modules["cv2"] = types.ModuleType("cv2")
+
+            # the shipped script reads args.n_pids but argparse defines
+            # --n_pid (SURVEY.md 2.5 pid-flag chaos); alias it post-parse so
+            # the reference code runs as intended
+            _orig = argparse.ArgumentParser.parse_args
+
+            def _parse(self, *a, **k):
+                ns = _orig(self, *a, **k)
+                if hasattr(ns, "n_pid") and not hasattr(ns, "n_pids"):
+                    ns.n_pids = ns.n_pid
+                return ns
+
+            argparse.ArgumentParser.parse_args = _parse
+
+            sys.path.insert(0, {fake_pkg!r})
+            sys.path.insert(0, "/root/reference/track_generation")
+            sys.argv = ["generate_tokens_grid.py",
+                        "--dataset", "mevis", "--data_type", "valid_u",
+                        "--bin_size", "{bin_size}",
+                        "--batch_size", "{batch_size}",
+                        "--n_max_tracks", "{n_max}"]
+            import runpy
+            runpy.run_path(
+                "/root/reference/track_generation/generate_tokens_grid.py",
+                run_name="__main__")
+            """))
+    env = dict(os.environ, PYTHONPATH="")
+    proc = subprocess.run([sys.executable, driver], cwd=workdir,
+                          capture_output=True, text=True, env=env,
+                          timeout=600)
+    assert proc.returncode == 0, (proc.stdout[-3000:], proc.stderr[-3000:])
+
+
+def _run_our_tokens(workdir: str, bin_size: int, batch_size: int,
+                    n_max: int) -> None:
+    from sola_tpu.trackgen import tokens_grid
+    from sola_tpu.trackgen.protocol import FakeVideoPredictor
+
+    class _DiskFake(FakeVideoPredictor):
+        def init_state(self, frames=None, video_path=None, **kw):
+            if video_path is not None:
+                names = sorted(os.listdir(video_path))
+                first = np.asarray(Image.open(
+                    os.path.join(video_path, names[0])))
+                return super().init_state(num_frames=len(names),
+                                          hw=first.shape[:2])
+            return super().init_state(frames=frames, **kw)
+
+    tokens_grid.main(
+        ["--dataset", "mevis", "--data_type", "valid_u",
+         "--bin_size", str(bin_size), "--batch_size", str(batch_size),
+         "--n_max_tracks", str(n_max),
+         "--data_root", workdir, "--output_root", workdir],
+        predictor_factory=_DiskFake)
+
+
+def _load_tokens_artifacts(workdir: str):
+    base = os.path.join(workdir, "sam2_tracks/grid_tracks/mevis/valid_u")
+    masklets, tokens = {}, {}
+    for vid in sorted(os.listdir(os.path.join(base, "sam2_masklets"))):
+        for name in sorted(os.listdir(
+                os.path.join(base, "sam2_masklets", vid))):
+            with open(os.path.join(base, "sam2_masklets", vid, name)) as f:
+                masklets[f"{vid}/{name}"] = json.load(f)
+    for vid in sorted(os.listdir(os.path.join(base, "sam2_object_tokens"))):
+        for name in sorted(os.listdir(
+                os.path.join(base, "sam2_object_tokens", vid))):
+            tokens[f"{vid}/{name}"] = np.load(
+                os.path.join(base, "sam2_object_tokens", vid, name))
+    runtime = {}
+    for name in os.listdir(base):
+        if name.startswith("runtime_info"):
+            with open(os.path.join(base, name)) as f:
+                runtime[name] = json.load(f)
+    return masklets, tokens, runtime
+
+
+@pytest.mark.parametrize("bin_size,batch_size,n_max",
+                         [(4, 2, 64), (2, 4, 3)])
+def test_grid_tokens_match_reference_script(tmp_path, bin_size, batch_size,
+                                            n_max):
+    ref_dir = tmp_path / "ref"
+    our_dir = tmp_path / "ours"
+    for d in (ref_dir, our_dir):
+        _make_tokens_dataset(str(d))
+        _make_prompts(str(d))
+    _run_reference_tokens(str(ref_dir), bin_size, batch_size, n_max)
+    _run_our_tokens(str(our_dir), bin_size, batch_size, n_max)
+
+    ref_m, ref_t, ref_r = _load_tokens_artifacts(str(ref_dir))
+    our_m, our_t, our_r = _load_tokens_artifacts(str(our_dir))
+
+    assert set(ref_m) == set(our_m) and ref_m, "masklet sets differ"
+    for key in ref_m:
+        r, o = ref_m[key], our_m[key]
+        assert r["anno_id"] == o["anno_id"], key
+        assert r["prompt_type"] == o["prompt_type"], key
+        assert len(r["rle"]) == len(o["rle"]), key
+        for f, (rr, oo) in enumerate(zip(r["rle"], o["rle"])):
+            assert rr["size"] == oo["size"], (key, f)
+            assert rr["counts"] == oo["counts"], (key, f)
+
+    assert set(ref_t) == set(our_t)
+    for key in ref_t:
+        np.testing.assert_array_equal(ref_t[key], our_t[key],
+                                      err_msg=key)
+
+    assert set(ref_r) == set(our_r)
+    for name in ref_r:
+        for vid in ref_r[name]:
+            r, o = ref_r[name][vid], our_r[name][vid]
+            for k in ("n_frames", "n_tracked", "n_filtered", "n_not_used",
+                      "n_total", "batch_size", "not_used_prompt_ids",
+                      "tracked_prompt_ids", "filtered_prompt_ids",
+                      "not_tracked_prompt_ids"):
+                assert r[k] == o[k], (name, vid, k, r[k], o[k])
