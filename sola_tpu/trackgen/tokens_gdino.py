@@ -46,8 +46,14 @@ def load_expression_prompts(prompt_path: str, video_id: str, bin_size: int,
         bad_bin = pm.frame_idx % bin_size != 0
         bad_stab = p.get("stability_score", 1.0) < stability_score_thresh
         if bad_bin or bad_stab:
-            pm.status = 3
+            # gated prompts are counted but NOT added to the expression
+            # list — the reference's runtime_info consequently always has
+            # an empty not_used_prompt_ids here even when n_not_used > 0
+            # (generate_tokens_gdino.py:160-167 appends only non-gated
+            # prompts, :315 lists status==3 over that list), and drop-in
+            # artifact parity means reproducing that
             n_not_used += 1
+            continue
         prompts.append(pm)
     return prompts, n_not_used, n_total
 

@@ -175,6 +175,78 @@ def test_grid_prompts_match_reference_script(tmp_path, bin_size, pid, n_pid):
 # Stage 2: generate_tokens_grid.py — the core track-generation loop
 # ---------------------------------------------------------------------------
 
+def _write_fake_sam2_pkg(workdir: str) -> str:
+    """Fake ``sam2`` package adapting the repo's deterministic
+    FakeVideoPredictor to the upstream torch protocol (incl. the
+    inference_state["output_dict"] internals the reference reaches into,
+    generate_tokens_grid.py:227-237). Returns the sys.path entry."""
+    fake_pkg = os.path.join(workdir, "_fake_pkgs")
+    sam2_dir = os.path.join(fake_pkg, "sam2")
+    os.makedirs(sam2_dir, exist_ok=True)
+    open(os.path.join(sam2_dir, "__init__.py"), "w").close()
+    with open(os.path.join(sam2_dir, "build_sam.py"), "w") as f:
+        f.write(textwrap.dedent("""\
+            import os
+            import sys
+
+            import numpy as np
+            import torch
+            from PIL import Image
+
+            sys.path.insert(0, "/root/repo")
+            from sola_tpu.trackgen.protocol import FakeVideoPredictor
+
+
+            def build_sam2(*a, **kw):
+                return None
+
+
+            def build_sam2_video_predictor(cfg, ckpt, device=None, **kw):
+                return _TorchAdapter(FakeVideoPredictor())
+
+
+            class _TorchAdapter:
+                def __init__(self, inner):
+                    self.inner = inner
+
+                def init_state(self, video_path):
+                    names = sorted(os.listdir(video_path))
+                    first = np.asarray(
+                        Image.open(os.path.join(video_path, names[0])))
+                    st = self.inner.init_state(num_frames=len(names),
+                                               hw=first.shape[:2])
+                    return {"_fake": st, "output_dict": {
+                        "cond_frame_outputs": {},
+                        "non_cond_frame_outputs": {}}}
+
+                def reset_state(self, state):
+                    self.inner.reset_state(state["_fake"])
+                    state["output_dict"] = {"cond_frame_outputs": {},
+                                            "non_cond_frame_outputs": {}}
+
+                def add_new_mask(self, inference_state, frame_idx, obj_id,
+                                 mask):
+                    f, ids, logits = self.inner.add_new_mask(
+                        inference_state["_fake"], frame_idx, obj_id,
+                        np.asarray(mask))
+                    return f, ids, torch.from_numpy(np.asarray(logits))
+
+                def propagate_in_video(self, inference_state,
+                                       reverse=False):
+                    st = inference_state["_fake"]
+                    od = inference_state["output_dict"]
+                    cond = min(st.prompts.keys())
+                    for f, ids, logits in self.inner.propagate_in_video(
+                            st, reverse=reverse):
+                        key = ("cond_frame_outputs" if f == cond
+                               else "non_cond_frame_outputs")
+                        od[key][f] = {
+                            "obj_ptr": torch.from_numpy(st.tokens[f])}
+                        yield f, ids, torch.from_numpy(logits)
+            """))
+    return fake_pkg
+
+
 def _make_tokens_dataset(root: str) -> None:
     """Frames engineered for the shared fake tracker (velocity 2 px/frame in
     x): the red rectangle genuinely moves 2 px/frame (its later prompts are
@@ -237,75 +309,7 @@ def _make_prompts(root: str) -> None:
 
 def _run_reference_tokens(workdir: str, bin_size: int, batch_size: int,
                           n_max: int) -> None:
-    fake_pkg = os.path.join(workdir, "_fake_pkgs")
-    sam2_dir = os.path.join(fake_pkg, "sam2")
-    os.makedirs(sam2_dir, exist_ok=True)
-    open(os.path.join(sam2_dir, "__init__.py"), "w").close()
-    with open(os.path.join(sam2_dir, "build_sam.py"), "w") as f:
-        f.write(textwrap.dedent("""\
-            import os
-            import sys
-
-            import numpy as np
-            import torch
-            from PIL import Image
-
-            sys.path.insert(0, "/root/repo")
-            from sola_tpu.trackgen.protocol import FakeVideoPredictor
-
-
-            def build_sam2(*a, **kw):
-                return None
-
-
-            def build_sam2_video_predictor(cfg, ckpt, device=None, **kw):
-                return _TorchAdapter(FakeVideoPredictor())
-
-
-            class _TorchAdapter:
-                '''Upstream SAM2VideoPredictor protocol (torch tensors +
-                the inference_state["output_dict"] internals the reference
-                reaches into, generate_tokens_grid.py:227-237) around the
-                repo's deterministic FakeVideoPredictor.'''
-
-                def __init__(self, inner):
-                    self.inner = inner
-
-                def init_state(self, video_path):
-                    names = sorted(os.listdir(video_path))
-                    first = np.asarray(
-                        Image.open(os.path.join(video_path, names[0])))
-                    st = self.inner.init_state(num_frames=len(names),
-                                               hw=first.shape[:2])
-                    return {"_fake": st, "output_dict": {
-                        "cond_frame_outputs": {},
-                        "non_cond_frame_outputs": {}}}
-
-                def reset_state(self, state):
-                    self.inner.reset_state(state["_fake"])
-                    state["output_dict"] = {"cond_frame_outputs": {},
-                                            "non_cond_frame_outputs": {}}
-
-                def add_new_mask(self, inference_state, frame_idx, obj_id,
-                                 mask):
-                    f, ids, logits = self.inner.add_new_mask(
-                        inference_state["_fake"], frame_idx, obj_id,
-                        np.asarray(mask))
-                    return f, ids, torch.from_numpy(np.asarray(logits))
-
-                def propagate_in_video(self, inference_state,
-                                       reverse=False):
-                    st = inference_state["_fake"]
-                    od = inference_state["output_dict"]
-                    cond = min(st.prompts.keys())
-                    for f, ids, logits in self.inner.propagate_in_video(
-                            st, reverse=reverse):
-                        key = ("cond_frame_outputs" if f == cond
-                               else "non_cond_frame_outputs")
-                        od[key][f] = {
-                            "obj_ptr": torch.from_numpy(st.tokens[f])}
-                        yield f, ids, torch.from_numpy(logits)
-            """))
+    fake_pkg = _write_fake_sam2_pkg(workdir)
 
     driver = os.path.join(workdir, "_driver_tokens.py")
     with open(driver, "w") as f:
@@ -446,3 +450,218 @@ def test_grid_tokens_match_reference_script(tmp_path, bin_size, batch_size,
                       "tracked_prompt_ids", "filtered_prompt_ids",
                       "not_tracked_prompt_ids"):
                 assert r[k] == o[k], (name, vid, k, r[k], o[k])
+
+
+# ---------------------------------------------------------------------------
+# Stage 2b: generate_tokens_gdino.py — per-expression tracking
+# ---------------------------------------------------------------------------
+
+def _make_gdino_dataset(root: str) -> None:
+    """Same engineered frames as the grid tokens test, plus per-video
+    expressions in the meta (the gdino stage tracks per expression)."""
+    _make_tokens_dataset(root)
+    meta = {"videos": {
+        "video_a": {"frames": [], "expressions": {
+            "0": {"exp": "the red thing", "anno_id": [0]},
+            "1": {"exp": "the green thing", "anno_id": [1]}}},
+        "video_b": {"frames": [], "expressions": {
+            "0": {"exp": "the blue thing", "anno_id": [2]}}},
+    }}
+    with open(os.path.join(root, "datasets/mevis/valid_u",
+                           "meta_expressions.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def _make_gdino_prompts(root: str) -> None:
+    """gdino_prompts JSONs: per-(expression, frame) prompts with engineered
+    stability scores (one below the 0.85 gate), a later-frame prompt FIRST
+    in the list (the gdino batcher breaks at the first different frame
+    instead of scanning past it, generate_tokens_gdino.py:194-196), and a
+    cross-frame duplicate for dedup."""
+    sys.path.insert(0, "/root/repo")
+    from sola_tpu.core import rle as rle_lib
+
+    base = os.path.join(root, "datasets/mevis/valid_u/JPEGImages")
+    out_dir = os.path.join(root, "sam2_prompts/gdino_prompts/mevis/valid_u")
+    os.makedirs(out_dir, exist_ok=True)
+    for vid in sorted(os.listdir(base)):
+        d = os.path.join(base, vid)
+        names = sorted(os.listdir(d))
+        frames = {f: np.asarray(Image.open(os.path.join(d, names[f])))
+                  for f in range(len(names))}
+        prompts = []
+
+        def add(exp_id, f, mask, stab):
+            prompts.append({
+                "segmentation": rle_lib.encode(mask.astype(np.uint8)),
+                "stability_score": stab,
+                "area": int(mask.sum()),
+                "frame_idx": f,
+                "expression_id": exp_id,
+                "bbox": [0, 0, 1, 1], "phrase": "x", "token_score": 0.5,
+            })
+
+        n = len(names)
+        red0 = frames[0][..., 0] > 127
+        # expression 0: frame-4 prompt FIRST (largest area by construction
+        # order), then two frame-0 prompts -> first batch is the lone
+        # frame-4 prompt; red@4 == rolled red@0 masklet -> dedup later
+        add("0", 4, frames[4][..., 0] > 127, 0.97)
+        add("0", 0, red0, 0.96)
+        add("0", 0, np.roll(red0, 5, axis=0), 0.95)
+        add("0", 0, red0 | (frames[0][..., 1] > 127), 0.5)  # gated
+        if n > 6:
+            add("0", 6, frames[6][..., 0] > 127, 0.9)  # non-bin -> not used
+        g0 = frames[0][..., 1] > 127
+        if vid == "video_a":
+            add("1", 0, g0, 0.99)
+            add("1", 4, frames[4][..., 1] > 127, 0.92)  # static -> tracked
+        for pid, p in enumerate(prompts):
+            p["prompt_id"] = pid
+        with open(os.path.join(out_dir, f"{vid}.json"), "w") as f:
+            json.dump({"video_id": vid, "bin_size": 4,
+                       "prompt_masks": prompts}, f, indent=4)
+
+
+def _run_reference_tokens_gdino(workdir: str) -> None:
+    fake_pkg = _write_fake_sam2_pkg(workdir)
+    driver = os.path.join(workdir, "_driver_tokens_gdino.py")
+    with open(driver, "w") as f:
+        f.write(textwrap.dedent(f"""\
+            import argparse
+            import sys, types
+            import numpy as np
+            sys.path.insert(0, "/root/repo")
+            from sola_tpu.core import rle as _rle
+
+            mask_mod = types.ModuleType("pycocotools.mask")
+
+            def _encode(arr):
+                e = _rle.encode(np.asarray(arr))
+                return {{"size": e["size"], "counts": e["counts"].encode()}}
+
+            mask_mod.encode = _encode
+            mask_mod.decode = _rle.decode
+            mask_mod.area = _rle.area
+            pkg = types.ModuleType("pycocotools")
+            pkg.mask = mask_mod
+            sys.modules["pycocotools"] = pkg
+            sys.modules["pycocotools.mask"] = mask_mod
+            sys.modules["cv2"] = types.ModuleType("cv2")
+
+            _orig = argparse.ArgumentParser.parse_args
+
+            def _parse(self, *a, **k):
+                ns = _orig(self, *a, **k)
+                if hasattr(ns, "n_pid") and not hasattr(ns, "n_pids"):
+                    ns.n_pids = ns.n_pid
+                return ns
+
+            argparse.ArgumentParser.parse_args = _parse
+
+            sys.path.insert(0, {fake_pkg!r})
+            sys.path.insert(0, "/root/reference/track_generation")
+            sys.argv = ["generate_tokens_gdino.py",
+                        "--dataset", "mevis", "--data_type", "valid_u",
+                        "--bin_size", "4", "--batch_size", "2",
+                        "--n_max_tracks", "16"]
+            import runpy
+            runpy.run_path(
+                "/root/reference/track_generation/generate_tokens_gdino.py",
+                run_name="__main__")
+            """))
+    env = dict(os.environ, PYTHONPATH="")
+    proc = subprocess.run([sys.executable, driver], cwd=workdir,
+                          capture_output=True, text=True, env=env,
+                          timeout=600)
+    assert proc.returncode == 0, (proc.stdout[-3000:], proc.stderr[-3000:])
+
+
+def _load_gdino_artifacts(workdir: str):
+    base = os.path.join(workdir, "sam2_tracks/gdino_tracks/mevis/valid_u")
+    masklets, tokens = {}, {}
+    mroot = os.path.join(base, "sam2_masklets")
+    for vid in sorted(os.listdir(mroot)):
+        for exp in sorted(os.listdir(os.path.join(mroot, vid))):
+            for name in sorted(os.listdir(os.path.join(mroot, vid, exp))):
+                with open(os.path.join(mroot, vid, exp, name)) as f:
+                    masklets[f"{vid}/{exp}/{name}"] = json.load(f)
+    troot = os.path.join(base, "sam2_object_tokens")
+    for vid in sorted(os.listdir(troot)):
+        for exp in sorted(os.listdir(os.path.join(troot, vid))):
+            for name in sorted(os.listdir(os.path.join(troot, vid, exp))):
+                tokens[f"{vid}/{exp}/{name}"] = np.load(
+                    os.path.join(troot, vid, exp, name))
+    with open(os.path.join(base, "runtime_info.json")) as f:
+        runtime = json.load(f)
+    return masklets, tokens, runtime
+
+
+def test_gdino_tokens_match_reference_script(tmp_path):
+    ref_dir = tmp_path / "ref"
+    our_dir = tmp_path / "ours"
+    resume_sentinel = {"video_a": {"1": {"n_tracked": 99, "n_filtered": 0,
+                                         "n_not_used": 0, "n_total": 99,
+                                         "sentinel": True}}}
+    for d in (ref_dir, our_dir):
+        _make_gdino_dataset(str(d))
+        _make_gdino_prompts(str(d))
+        # pre-existing runtime entry -> (video_a, expr 1) must be SKIPPED
+        # (resume contract, generate_tokens_gdino.py:138-145)
+        rt_dir = os.path.join(str(d), "sam2_tracks/gdino_tracks/mevis/"
+                              "valid_u")
+        os.makedirs(rt_dir, exist_ok=True)
+        with open(os.path.join(rt_dir, "runtime_info.json"), "w") as f:
+            json.dump(resume_sentinel, f)
+
+    _run_reference_tokens_gdino(str(ref_dir))
+
+    from sola_tpu.trackgen import tokens_gdino
+    from sola_tpu.trackgen.protocol import FakeVideoPredictor
+
+    class _DiskFake(FakeVideoPredictor):
+        def init_state(self, frames=None, video_path=None, **kw):
+            if video_path is not None:
+                names = sorted(os.listdir(video_path))
+                first = np.asarray(Image.open(
+                    os.path.join(video_path, names[0])))
+                return super().init_state(num_frames=len(names),
+                                          hw=first.shape[:2])
+            return super().init_state(frames=frames, **kw)
+
+    tokens_gdino.main(
+        ["--dataset", "mevis", "--data_type", "valid_u",
+         "--bin_size", "4", "--batch_size", "2", "--n_max_tracks", "16",
+         "--data_root", str(our_dir), "--output_root", str(our_dir)],
+        predictor_factory=_DiskFake)
+
+    ref_m, ref_t, ref_r = _load_gdino_artifacts(str(ref_dir))
+    our_m, our_t, our_r = _load_gdino_artifacts(str(our_dir))
+
+    assert set(ref_m) == set(our_m) and ref_m, "masklet sets differ"
+    assert not any(k.startswith("video_a/1/") for k in ref_m), \
+        "resume sentinel was not honored by the reference run"
+    for key in ref_m:
+        r, o = ref_m[key], our_m[key]
+        assert r["anno_id"] == o["anno_id"], key
+        assert r["prompt_type"] == o["prompt_type"], key
+        for f, (rr, oo) in enumerate(zip(r["rle"], o["rle"])):
+            assert rr["size"] == oo["size"] and \
+                rr["counts"] == oo["counts"], (key, f)
+
+    assert set(ref_t) == set(our_t)
+    for key in ref_t:
+        np.testing.assert_array_equal(ref_t[key], our_t[key], err_msg=key)
+
+    assert set(ref_r) == set(our_r)
+    for vid in ref_r:
+        assert set(ref_r[vid]) == set(our_r[vid]), vid
+        for exp in ref_r[vid]:
+            r, o = ref_r[vid][exp], our_r[vid][exp]
+            if r.get("sentinel"):
+                assert o.get("sentinel"), (vid, exp)
+                continue
+            for k in ("n_tracked", "n_filtered", "n_not_used", "n_total",
+                      "batch_size", "n_frames", "tracked_prompt_ids",
+                      "filtered_prompt_ids", "not_used_prompt_ids"):
+                assert r[k] == o[k], (vid, exp, k, r[k], o[k])
