@@ -17,7 +17,7 @@ from typing import Callable, Optional
 
 import numpy as np
 
-from sola_tpu.core import mask_ops, rle
+from sola_tpu.core import rle
 from sola_tpu.data import meta as meta_lib
 from sola_tpu.data import tracks as tracks_lib
 from sola_tpu.trackgen import gt_utils
@@ -25,18 +25,18 @@ from sola_tpu.trackgen.prefetch import StatePrefetcher
 from sola_tpu.trackgen.tokens_grid import DATA_DIR_DICT
 
 
-def run_gt_object(predictor, state, anno_id, gt_masklet: np.ndarray,
-                  n_frames: int, *, max_seeds: Optional[int] = None) -> dict:
-    """Track one GT object; returns {"masklet", "masklet_small", "tokens"}."""
-    seeds = gt_utils.get_prompt_masks(gt_masklet, max_seeds=max_seeds)
-    assert seeds, f"GT masklet for anno {anno_id} is empty"
+def run_gt_seed(predictor, state, seed: dict, n_frames: int) -> dict:
+    """Track ONE appearance-onset seed (reference semantics: a fresh
+    reset_state + obj_id=0 propagation per seed, so a re-appearing GT
+    object yields one track PER onset — generate_tokens_GT_mevis.py:98-131
+    loops ``prompt_mask_infos`` with a per-seed pass and a running output
+    counter)."""
     predictor.reset_state(state)
     masklet = [None] * n_frames
-    for seed in seeds:
-        _, _, logits = predictor.add_new_mask(
-            state, seed["frame_idx"], 0, seed["mask"])
-        masklet[seed["frame_idx"]] = (
-            np.asarray(logits[0]) > 0.0).astype(np.uint8)
+    _, _, logits = predictor.add_new_mask(
+        state, seed["frame_idx"], 0, seed["mask"])
+    masklet[seed["frame_idx"]] = (
+        np.asarray(logits[0]) > 0.0).astype(np.uint8)
     for frame_idx, _, logits in predictor.propagate_in_video(state):
         masklet[frame_idx] = (np.asarray(logits[0, 0]) > 0.0).astype(
             np.uint8)
@@ -49,34 +49,52 @@ def run_gt_object(predictor, state, anno_id, gt_masklet: np.ndarray,
     tokens_by_frame = predictor.get_output_tokens(state)
     tokens = np.stack([np.asarray(tokens_by_frame[f][0])
                        for f in range(n_frames)], axis=0)
-    small = np.asarray(mask_ops.reshape_masklet_auto(
-        masklet.astype(np.float32)))
-    return {"masklet": masklet, "masklet_small": small, "tokens": tokens}
+    return {"masklet": masklet, "tokens": tokens}
+
+
+def gt_seed_units(gt_masklets: dict) -> list:
+    """[(out_anno_id, gt_anno_id, seed)] in the reference's output order:
+    GT objects in dict order, seeds in onset order, one running counter
+    (the artifact files are named by this counter, NOT the GT anno id —
+    generate_tokens_GT_mevis.py:95-160)."""
+    units = []
+    out_id = 0
+    for gt_anno_id, gt in gt_masklets.items():
+        seeds = gt_utils.get_prompt_masks(gt)
+        assert seeds, f"GT masklet for anno {gt_anno_id} is empty"
+        for seed in seeds:
+            units.append((out_id, gt_anno_id, seed))
+            out_id += 1
+    return units
 
 
 def run_video(predictor, state, video_id: str, gt_masklets: dict,
               n_frames: int, track_root: str, dataset: str, data_type: str,
               *, save_prec_rec_iou: bool = False,
-              gt_small: Optional[dict] = None,
               output_dir_name: str = "gt_tracks",
               log: Callable[[str], None] = print) -> dict:
     census = {}
-    for anno_id, gt_masklet in gt_masklets.items():
+    for out_id, gt_anno_id, seed in gt_seed_units(gt_masklets):
         start = time.time()
-        out = run_gt_object(predictor, state, anno_id, gt_masklet, n_frames)
+        out = run_gt_seed(predictor, state, seed, n_frames)
         metrics = None
-        if save_prec_rec_iou and gt_small is not None:
-            metrics = gt_utils.metrics_vs_gt(out["masklet_small"], gt_small)
+        if save_prec_rec_iou:
+            # the GT scripts score at FULL resolution (no reshape_masklet,
+            # unlike the grid/gdino paths — generate_tokens_GT_mevis.py:
+            # 142-155 compares pred_masklet to the raw decoded GT)
+            metrics = gt_utils.metrics_vs_gt(out["masklet"], gt_masklets)
         tracks_lib.save_track(
             track_root, output_dir_name, dataset, data_type, video_id,
-            int(anno_id), rle.encode_masklet(out["masklet"]), "GT MASK",
+            out_id, rle.encode_masklet(out["masklet"]), "GT MASK",
             out["tokens"], metrics=metrics)
-        census[str(anno_id)] = {
+        census[str(out_id)] = {
             "time": time.time() - start,
             "n_frames": n_frames,
+            "gt_anno_id": str(gt_anno_id),
+            "seed_frame": int(seed["frame_idx"]),
         }
-        log(f"video {video_id} anno {anno_id}: "
-            f"{census[str(anno_id)]['time']:.2f}s")
+        log(f"video {video_id} track {out_id} (gt {gt_anno_id}): "
+            f"{census[str(out_id)]['time']:.2f}s")
     return census
 
 
@@ -84,19 +102,18 @@ def run_videos_packed_gt(predictor, items, track_root: str, dataset: str,
                          data_type: str, *, save_prec_rec_iou: bool = False,
                          output_dir_name: str = "gt_tracks",
                          log: Callable[[str], None] = print) -> dict:
-    """Pack several videos' GT objects into shared propagation rounds.
+    """Pack several videos' GT seeds into shared propagation rounds.
 
-    The reference tracks one GT object per propagation pass
+    The reference tracks one seed per propagation pass
     (generate_tokens_GT_mevis.py:110-116, obj_id=0) — 1/obj_batch slot
-    utilization on the TPU object axis. Each single-seed GT object is an
-    independent (video, object) slot, so ``PackedPropagator`` rounds carry
-    up to ``obj_batch`` of them at once, across videos. Objects with
-    multiple appearance onsets (re-appearing objects need several
-    conditioning frames) fall back to the sequential ``run_gt_object``.
-    Artifacts are identical to per-object ``run_video`` calls.
+    utilization on the TPU object axis. Every seed is a single-cond
+    (video, object) slot, so ``PackedPropagator`` rounds carry up to
+    ``obj_batch`` of them at once, across videos AND across a re-appearing
+    object's onsets. Artifacts are identical to per-seed ``run_video``
+    calls.
 
-    ``items``: [{"video_id", "state", "gt_masklets", "n_frames",
-    "gt_small"}] — states already encoded.
+    ``items``: [{"video_id", "state", "gt_masklets", "n_frames"}] — states
+    already encoded.
     """
     from sola_tpu.trackgen import packed_engine
     from sola_tpu.trackgen.sam2.packed import (PackedFeatures,
@@ -107,59 +124,57 @@ def run_videos_packed_gt(predictor, items, track_root: str, dataset: str,
     pack = PackedFeatures.build([it["state"] for it in items])
     censuses = {it["video_id"]: {} for it in items}
 
-    units = []
-    for vi, it in enumerate(items):
-        for anno_id, gt in it["gt_masklets"].items():
-            seeds = gt_utils.get_prompt_masks(gt)
-            assert seeds, f"GT masklet for anno {anno_id} is empty"
-            units.append((vi, anno_id, seeds))
-    packed_units = [u for u in units if len(u[2]) == 1]
-    multi_units = [u for u in units if len(u[2]) > 1]
+    units = [(vi, out_id, gt_anno_id, seed)
+             for vi, it in enumerate(items)
+             for out_id, gt_anno_id, seed in gt_seed_units(
+                 it["gt_masklets"])]
     # longest-first: a round's scan length is the max of its slots' video
     # lengths, so grouping similar-length videos minimizes padded idle
     # steps (same policy as packed_engine's request packing). Artifact
-    # content is per-object and unaffected by round membership.
-    packed_units.sort(key=lambda u: -items[u[0]]["n_frames"])
+    # content is per-seed and unaffected by round membership.
+    units.sort(key=lambda u: -items[u[0]]["n_frames"])
 
-    def finish(vi, anno_id, out, elapsed):
+    def finish(vi, out_id, gt_anno_id, seed, out, elapsed):
         it = items[vi]
         metrics = None
-        if save_prec_rec_iou and it.get("gt_small") is not None:
-            metrics = gt_utils.metrics_vs_gt(out["masklet_small"],
-                                             it["gt_small"])
+        if save_prec_rec_iou:
+            # full-resolution scoring (generate_tokens_GT_mevis.py:142-155)
+            metrics = gt_utils.metrics_vs_gt(out["masklet"],
+                                             it["gt_masklets"])
         tracks_lib.save_track(
             track_root, output_dir_name, dataset, data_type,
-            it["video_id"], int(anno_id),
+            it["video_id"], out_id,
             rle.encode_masklet(out["masklet"]), "GT MASK", out["tokens"],
             metrics=metrics)
-        censuses[it["video_id"]][str(anno_id)] = {
+        censuses[it["video_id"]][str(out_id)] = {
             "time": elapsed,
             "n_frames": it["n_frames"],
+            "gt_anno_id": str(gt_anno_id),
+            "seed_frame": int(seed["frame_idx"]),
         }
 
-    for g0 in range(0, len(packed_units), b):
-        group = packed_units[g0:g0 + b]
+    for g0 in range(0, len(units), b):
+        group = units[g0:g0 + b]
         start = time.time()
         video = np.full((b,), -1, np.int64)
         cond = np.zeros((b,), np.int64)
         length = np.ones((b,), np.int64)
         cond_masks = np.zeros((b, size, size), np.float32)
-        for s, (vi, anno_id, seeds) in enumerate(group):
+        for s, (vi, out_id, gt_anno_id, seed) in enumerate(group):
             video[s] = vi
-            cond[s] = seeds[0]["frame_idx"]
+            cond[s] = seed["frame_idx"]
             length[s] = items[vi]["n_frames"]
-            cond_masks[s] = packed_engine._resize_prompt(seeds[0]["mask"],
-                                                         size)
+            cond_masks[s] = packed_engine._resize_prompt(seed["mask"], size)
         log(f"gt pack: {len(group)}/{b} slots from "
-            f"{sorted({items[vi]['video_id'] for vi, _, _ in group})}")
+            f"{sorted({items[vi]['video_id'] for vi, _, _, _ in group})}")
         out = prop.run_round(
             pack, SlotPlan(video=video, cond=cond, length=length),
             cond_masks)
-        # per-object cost attribution: the round's wall time is shared by
-        # its slots (sequential semantics report per-object times; a
-        # group total per object would inflate runtime_info obj_batch-fold)
+        # per-seed cost attribution: the round's wall time is shared by
+        # its slots (sequential semantics report per-seed times; a group
+        # total per seed would inflate runtime_info obj_batch-fold)
         share = (time.time() - start) / max(len(group), 1)
-        for s, (vi, anno_id, seeds) in enumerate(group):
+        for s, (vi, out_id, gt_anno_id, seed) in enumerate(group):
             t = items[vi]["n_frames"]
             masklet = np.stack(
                 [np.asarray(out["masks"][s][f], np.uint8)
@@ -167,17 +182,8 @@ def run_videos_packed_gt(predictor, items, track_root: str, dataset: str,
             tokens = np.stack(
                 [np.asarray(out["tokens"][s][f], np.float32)
                  for f in range(t)], axis=0)
-            finish(vi, anno_id,
-                   {"masklet": masklet,
-                    "masklet_small": np.asarray(out["smalls"][s]),
-                    "tokens": tokens}, share)
-
-    for vi, anno_id, seeds in multi_units:
-        start = time.time()
-        it = items[vi]
-        out = run_gt_object(predictor, it["state"], anno_id,
-                            it["gt_masklets"][anno_id], it["n_frames"])
-        finish(vi, anno_id, out, time.time() - start)
+            finish(vi, out_id, gt_anno_id, seed,
+                   {"masklet": masklet, "tokens": tokens}, share)
     return censuses
 
 
@@ -255,12 +261,6 @@ def main(argv=None, predictor_factory=None) -> None:
         return gt_utils.get_masklets_ytbvos(
             os.path.join(data_dir, "Annotations", video_id))
 
-    def small_of(gt_masklets):
-        if not args.save_prec_rec_iou:
-            return None
-        return {k: np.asarray(mask_ops.reshape_masklet_auto(v))
-                for k, v in gt_masklets.items()}
-
     def write_runtime():
         os.makedirs(out_dir, exist_ok=True)
         with open(runtime_path, "w") as f:
@@ -285,7 +285,6 @@ def main(argv=None, predictor_factory=None) -> None:
                     "video_id": vid,
                     "state": prefetcher.get(vid, frames_dir_of(vid)),
                     "gt_masklets": gt_masklets,
-                    "gt_small": small_of(gt_masklets),
                     "n_frames": len(os.listdir(frames_dir_of(vid))),
                 })
             censuses = run_videos_packed_gt(
@@ -306,8 +305,7 @@ def main(argv=None, predictor_factory=None) -> None:
             census = run_video(
                 predictor, state, video_id, gt_masklets, n_frames,
                 track_root, args.dataset, args.data_type,
-                save_prec_rec_iou=args.save_prec_rec_iou,
-                gt_small=small_of(gt_masklets))
+                save_prec_rec_iou=args.save_prec_rec_iou)
             runtime_info[video_id] = census
             write_runtime()
     prefetcher.close()

@@ -316,9 +316,9 @@ def test_run_round_collect_false_banks(predictor):
 
 
 def test_gt_packed_matches_sequential(tmp_path, predictor):
-    """Packed GT rounds (several videos' single-seed objects in one scan)
-    must write bit-identical artifacts to the sequential per-object path;
-    multi-seed (re-appearing) objects take the sequential fallback."""
+    """Packed GT rounds (several videos' seeds in one scan) must write
+    bit-identical artifacts to the sequential per-seed path; a re-appearing
+    object's onsets are independent single-cond slots and pack too."""
     import json as json_lib
     import os
 
@@ -367,28 +367,23 @@ def test_gt_packed_matches_sequential(tmp_path, predictor):
                     out[rel] = np.load(p)
         return out
 
-    from sola_tpu.core import mask_ops as mo
-
     seq_root = str(tmp_path / "seq")
     for vid, t, hw, _seed, gts in videos:
-        gt_small = {k: np.asarray(mo.reshape_masklet_auto(
-            v.astype(np.float32))) for k, v in gts.items()}
         tokens_gt.run_video(predictor, states[vid], vid, gts, t, seq_root,
                             "mevis", "train", save_prec_rec_iou=True,
-                            gt_small=gt_small, log=lambda s: None)
+                            log=lambda s: None)
 
     pk_root = str(tmp_path / "pk")
     items = [{"video_id": vid, "state": states[vid], "gt_masklets": gts,
-              "n_frames": t,
-              "gt_small": {k: np.asarray(mo.reshape_masklet_auto(
-                  v.astype(np.float32))) for k, v in gts.items()}}
+              "n_frames": t}
              for vid, t, hw, _seed, gts in videos]
     censuses = tokens_gt.run_videos_packed_gt(
         predictor, items, pk_root, "mevis", "train",
         save_prec_rec_iou=True, log=lambda s: None)
 
     a, b = collect(seq_root), collect(pk_root)
-    assert set(a) == set(b) and len(a) >= 10  # 5 objects x (json + npy)
+    # 6 seeds (object "4" re-appears -> one track per onset) x (json + npy)
+    assert set(a) == set(b) and len(a) >= 12
     for rel in a:
         if rel.endswith(".npy"):
             np.testing.assert_allclose(b[rel], a[rel], atol=1e-5)
@@ -405,5 +400,12 @@ def test_gt_packed_matches_sequential(tmp_path, predictor):
                         np.asarray(list(va[key][gid]), float)
                         if isinstance(va[key][gid], list)
                         else va[key][gid], atol=1e-5)
+    from sola_tpu.trackgen.tokens_gt import gt_seed_units
     for vid, t, hw, _seed, gts in videos:
-        assert set(censuses[vid]) == set(gts)
+        units = gt_seed_units(gts)
+        # census keyed by the running per-seed output id (reference naming)
+        assert set(censuses[vid]) == {str(u[0]) for u in units}
+        for out_id, gt_anno_id, seed in units:
+            entry = censuses[vid][str(out_id)]
+            assert entry["gt_anno_id"] == str(gt_anno_id)
+            assert entry["seed_frame"] == seed["frame_idx"]

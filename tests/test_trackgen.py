@@ -209,17 +209,23 @@ def test_tokens_gdino_run_expression(tmp_path, predictor):
 
 def test_tokens_gt_appearance_onset(predictor):
     from sola_tpu.trackgen.gt_utils import get_prompt_masks
-    from sola_tpu.trackgen.tokens_gt import run_gt_object
+    from sola_tpu.trackgen.tokens_gt import gt_seed_units, run_gt_seed
     gt = np.zeros((T, H, W), np.float32)
     gt[0:3, 4:12, 4:12] = 1     # appears frames 0-2
     gt[5:8, 4:12, 14:22] = 1    # re-appears frames 5-7
     seeds = get_prompt_masks(gt)
     assert [s["frame_idx"] for s in seeds] == [0, 5]
 
+    # reference output order: one track PER onset with a running counter
+    units = gt_seed_units({"7": gt})
+    assert [(u[0], u[1], u[2]["frame_idx"]) for u in units] == [
+        (0, "7", 0), (1, "7", 5)]
+
     state = predictor.init_state(num_frames=T, hw=(H, W))
-    out = run_gt_object(predictor, state, 7, gt, T)
-    assert out["masklet"].shape == (T, H, W)
-    assert out["tokens"].shape == (T, 16)
+    for _, _, seed in units:
+        out = run_gt_seed(predictor, state, seed, T)
+        assert out["masklet"].shape == (T, H, W)
+        assert out["tokens"].shape == (T, 16)
 
 
 def test_prompts_grid_generation():
