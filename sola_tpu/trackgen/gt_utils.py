@@ -43,7 +43,9 @@ def get_masklets_ytbvos(masklet_dir: str, reshape: bool = False) -> dict:
     stacked = np.stack(frames, axis=0)
     out = {}
     for obj_id in np.unique(stacked):
-        if obj_id in (0, 255):
+        # the reference sweeps ids 1..255 INCLUSIVE (seg_utils.py:38
+        # range(1, 256)) — id 255 is a real object there, not a void label
+        if obj_id == 0:
             continue
         masklet = (stacked == obj_id).astype(np.float32)
         if masklet.sum() == 0:

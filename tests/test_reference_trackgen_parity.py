@@ -865,3 +865,170 @@ def test_gt_tokens_match_reference_script(tmp_path):
     assert set(ref_t) == set(our_t)
     for key in ref_t:
         np.testing.assert_array_equal(ref_t[key], our_t[key], err_msg=key)
+
+
+# ---------------------------------------------------------------------------
+# Stage 2d: generate_tokens_GT_ytbvos.py — palette-PNG GT labels
+# ---------------------------------------------------------------------------
+
+def _make_ytbvos_dataset(root: str) -> None:
+    """Ref-YTVOS train layout: palette-PNG annotations with sparse object
+    ids (2, 7, and 255 — the reference sweeps ids 1..255 INCLUSIVE), one
+    object absent mid-video (two onsets -> two per-seed tracks)."""
+    sys.path.insert(0, "/root/repo")
+    from tests.test_gt_formats import save_palette_png
+
+    h, w, n = 24, 32, 6
+    frames_dir = os.path.join(root,
+                              "datasets/ref-ytbvos/train/JPEGImages/vid_y")
+    anno_dir = os.path.join(root,
+                            "datasets/ref-ytbvos/train/Annotations/vid_y")
+    os.makedirs(frames_dir, exist_ok=True)
+    os.makedirs(anno_dir, exist_ok=True)
+    for f in range(n):
+        frame = np.zeros((h, w, 3), np.uint8)
+        frame[2:8, 2 + 2 * f:8 + 2 * f, 0] = 180
+        Image.fromarray(frame).save(os.path.join(frames_dir,
+                                                 f"{f:05d}.png"))
+        anno = np.zeros((h, w), np.uint8)
+        anno[2:8, 2 + 2 * f:8 + 2 * f] = 2           # object 2: moving
+        if f not in (2, 3):
+            anno[16:22, 4:12] = 7                     # object 7: two onsets
+        if f == 1:
+            anno[1:4, 26:30] = 255                    # object 255: one frame
+        save_palette_png(anno, os.path.join(anno_dir, f"{f:05d}.png"))
+    meta = {"videos": {"vid_y": {"frames": [], "expressions": {
+        "0": {"exp": "x", "obj_id": [2]}}}}}
+    meta_dir = os.path.join(root, "datasets/ref-ytbvos/meta_expressions/"
+                            "train")
+    os.makedirs(meta_dir, exist_ok=True)
+    with open(os.path.join(meta_dir, "meta_expressions.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def _run_reference_tokens_ytbvos(workdir: str) -> None:
+    fake_pkg = _write_fake_sam2_pkg(workdir)
+    driver = os.path.join(workdir, "_driver_tokens_ytbvos.py")
+    with open(driver, "w") as f:
+        f.write(textwrap.dedent(f"""\
+            import argparse
+            import sys, types
+            import numpy as np
+            sys.path.insert(0, "/root/repo")
+            from sola_tpu.core import rle as _rle
+
+            mask_mod = types.ModuleType("pycocotools.mask")
+
+            def _encode(arr):
+                e = _rle.encode(np.asarray(arr))
+                return {{"size": e["size"], "counts": e["counts"].encode()}}
+
+            mask_mod.encode = _encode
+            mask_mod.decode = _rle.decode
+            mask_mod.area = _rle.area
+            pkg = types.ModuleType("pycocotools")
+            pkg.mask = mask_mod
+            sys.modules["pycocotools"] = pkg
+            sys.modules["pycocotools.mask"] = mask_mod
+            sys.modules["cv2"] = types.ModuleType("cv2")
+
+            _orig = argparse.ArgumentParser.parse_args
+
+            def _parse(self, *a, **k):
+                ns = _orig(self, *a, **k)
+                if hasattr(ns, "n_pid") and not hasattr(ns, "n_pids"):
+                    ns.n_pids = ns.n_pid
+                return ns
+
+            argparse.ArgumentParser.parse_args = _parse
+
+            sys.path.insert(0, {fake_pkg!r})
+            sys.path.insert(0, "/root/reference/track_generation")
+
+            # the script calls utils.get_masklets_ytbvos (lives in
+            # seg_utils, SURVEY.md 2.5) and utils.get_prompt_masks
+            # (defined nowhere) — inject both
+            import utils
+            import seg_utils
+            from sola_tpu.trackgen.gt_utils import \\
+                get_prompt_masks as _gpm
+
+            utils.get_masklets_ytbvos = seg_utils.get_masklets_ytbvos
+            utils.get_prompt_masks = lambda m: _gpm(np.asarray(m))
+
+            sys.argv = ["generate_tokens_GT_ytbvos.py",
+                        "--dataset", "ref-ytbvos", "--data_type", "train",
+                        "--save_prec_rec_iou"]
+            import runpy
+            runpy.run_path("/root/reference/track_generation/"
+                           "generate_tokens_GT_ytbvos.py",
+                           run_name="__main__")
+            """))
+    env = dict(os.environ, PYTHONPATH="")
+    proc = subprocess.run([sys.executable, driver], cwd=workdir,
+                          capture_output=True, text=True, env=env,
+                          timeout=600)
+    assert proc.returncode == 0, (proc.stdout[-3000:], proc.stderr[-3000:])
+
+
+def test_ytbvos_gt_tokens_match_reference_script(tmp_path):
+    ref_dir = tmp_path / "ref"
+    our_dir = tmp_path / "ours"
+    for d in (ref_dir, our_dir):
+        _make_ytbvos_dataset(str(d))
+    _run_reference_tokens_ytbvos(str(ref_dir))
+
+    from sola_tpu.trackgen import tokens_gt
+    from sola_tpu.trackgen.protocol import FakeVideoPredictor
+
+    class _DiskFake(FakeVideoPredictor):
+        def init_state(self, frames=None, video_path=None, **kw):
+            if video_path is not None:
+                names = sorted(os.listdir(video_path))
+                first = np.asarray(Image.open(
+                    os.path.join(video_path, names[0])))
+                return super().init_state(num_frames=len(names),
+                                          hw=first.shape[:2])
+            return super().init_state(frames=frames, **kw)
+
+    tokens_gt.main(
+        ["--dataset", "ref-ytbvos", "--data_type", "train",
+         "--save_prec_rec_iou",
+         "--data_root", str(our_dir), "--output_root", str(our_dir)],
+        predictor_factory=_DiskFake)
+
+    def load(workdir):
+        base = os.path.join(workdir,
+                            "sam2_tracks/gt_tracks/ref-ytbvos/train")
+        masklets, tokens = {}, {}
+        for name in sorted(os.listdir(
+                os.path.join(base, "sam2_masklets", "vid_y"))):
+            with open(os.path.join(base, "sam2_masklets", "vid_y",
+                                   name)) as f:
+                masklets[name] = json.load(f)
+        for name in sorted(os.listdir(
+                os.path.join(base, "sam2_object_tokens", "vid_y"))):
+            tokens[name] = np.load(
+                os.path.join(base, "sam2_object_tokens", "vid_y", name))
+        return masklets, tokens
+
+    ref_m, ref_t = load(str(ref_dir))
+    our_m, our_t = load(str(our_dir))
+
+    # 4 tracks: obj 2 (1 onset) + obj 7 (onsets 0 and 4) + obj 255 (1)
+    assert set(ref_m) == set(our_m) == {f"{i:05d}.json" for i in range(4)}
+    for key in ref_m:
+        r, o = ref_m[key], our_m[key]
+        assert r["anno_id"] == o["anno_id"], key
+        assert r["prompt_type"] == o["prompt_type"] == "GT MASK"
+        for f, (rr, oo) in enumerate(zip(r["rle"], o["rle"])):
+            assert rr["size"] == oo["size"] and \
+                rr["counts"] == oo["counts"], (key, f)
+        for metric in ("precision", "recall", "iou"):
+            assert set(r[metric]) == set(o[metric]) == {"2", "7", "255"}
+            for gid in r[metric]:
+                assert abs(r[metric][gid] - o[metric][gid]) < 1e-6, (
+                    key, metric, gid)
+    assert set(ref_t) == set(our_t)
+    for key in ref_t:
+        np.testing.assert_array_equal(ref_t[key], our_t[key], err_msg=key)
