@@ -158,28 +158,38 @@ def generate_video_prompts(prompt_generator: PromptGenerator, frames: list,
                 if "sam2_mask" not in pred:
                     continue
                 mask = np.asarray(pred["sam2_mask"], np.uint8)
+                has_gt = (gt_masklets is not None
+                          and anno_ids_by_expr is not None)
+                # reference schema (generate_prompts_gdino.py:177-204):
+                # pred_bbox/pred_phrase/score names, nested per-anno
+                # "metrics" with iou 0.0 when the GT frame is absent — and
+                # a float "area" on the GT branch vs int otherwise (the
+                # reference's .item() on a float tensor sum vs int())
                 entry = {
                     "segmentation": rle.encode(mask),
-                    "bbox": np.asarray(pred["bbox"]).tolist(),
-                    "phrase": pred.get("phrase", ""),
-                    "token_score": pred.get("token_score", []),
-                    "mask_score": pred.get("mask_score", 0.0),
                     "stability_score": pred.get("stability_score", 0.0),
-                    "area": int(mask.sum()),
+                    "score": pred.get("mask_score", 0.0),
+                    "area": (float(mask.sum()) if has_gt
+                             else int(mask.sum())),
                     "area_ratio": float(mask.sum()) / frame_area,
                     "frame_idx": fi,
+                    "pred_bbox": np.asarray(pred["bbox"]).tolist(),
+                    "pred_phrase": pred.get("phrase", ""),
+                    "token_score": pred.get("token_score", []),
                     "expression_id": expr_id,
+                    "metrics": {},
                 }
-                if gt_masklets is not None and anno_ids_by_expr is not None:
-                    entry["iou"] = {}
+                if has_gt:
                     for anno_id in anno_ids_by_expr.get(expr_id, []):
                         gt = gt_masklets.get(str(anno_id),
                                              gt_masklets.get(anno_id))
-                        if gt is not None:
-                            entry["iou"][str(anno_id)] = float(
-                                mask_ops.mask_iou(
-                                    mask.astype(np.float32),
-                                    gt[fi].astype(np.float32)))
+                        if gt is None or gt[fi] is None:
+                            entry["metrics"][str(anno_id)] = {"iou": 0.0}
+                            continue
+                        entry["metrics"][str(anno_id)] = {"iou": float(
+                            mask_ops.mask_iou(
+                                mask.astype(np.float32),
+                                np.asarray(gt[fi], np.float32)))}
                 prompt_masks.append(entry)
 
     prompt_masks.sort(key=lambda x: x["area"], reverse=True)
@@ -206,7 +216,11 @@ def main(argv=None, generator_factory=None) -> None:
                         help="accepted for reference CLI compatibility; the architecture is code-defined")
     parser.add_argument("--gdino_ckpt", type=str,
                         default="pretrained_models/groundingdino_swint_ogc.pth")
-    parser.add_argument("--save_iou", action="store_true")
+    parser.add_argument("--save_iou", action="store_true",
+                        help="accepted for backward compatibility; GT "
+                             "IoU tagging is automatic exactly when the "
+                             "reference's is (mevis train/valid_u, "
+                             "generate_prompts_gdino.py:99-104)")
     # bf16 compute for the grounding forward (fp32 default = upstream
     # parity; bf16 measured ~2x on TPU with negligible box drift)
     parser.add_argument("--bf16", action="store_true")
@@ -233,7 +247,7 @@ def main(argv=None, generator_factory=None) -> None:
                                "meta_expressions.json")) as f:
             meta = json.load(f)
     mask_dict = None
-    if args.save_iou and args.dataset == "mevis":
+    if args.dataset == "mevis" and args.data_type in ("train", "valid_u"):
         with open(os.path.join(data_dir, "mask_dict.json")) as f:
             mask_dict = json.load(f)
 
@@ -268,15 +282,20 @@ def main(argv=None, generator_factory=None) -> None:
         expressions = meta["videos"][video_id]["expressions"]
         gt_masklets = None
         anno_ids_by_expr = None
-        if args.save_iou and mask_dict is not None:
+        if mask_dict is not None:
             gt_masklets = {}
             anno_ids_by_expr = {}
             for expr_id, em in expressions.items():
                 anno_ids_by_expr[expr_id] = em.get("anno_id", [])
                 for anno_id in em.get("anno_id", []):
                     if str(anno_id) not in gt_masklets:
-                        gt_masklets[str(anno_id)] = gt_utils.get_masklet(
-                            anno_id, mask_dict)
+                        # keep absent frames as None (NOT zero-filled):
+                        # the reference short-circuits them to iou 0.0
+                        # (generate_prompts_gdino.py:160-175), which
+                        # differs from an empty-vs-empty IoU convention
+                        gt_masklets[str(anno_id)] = [
+                            rle.decode(r) if r is not None else None
+                            for r in mask_dict[str(anno_id)]]
         info = generate_video_prompts(generator, frames, video_id,
                                       expressions, args.bin_size,
                                       gt_masklets, anno_ids_by_expr)

@@ -229,8 +229,8 @@ def test_pipelined_video_prompts_match_sequential(tiny_gdino):
         assert a["frame_idx"] == b["frame_idx"]
         assert a["expression_id"] == b["expression_id"]
         assert a["segmentation"] == b["segmentation"]
-        np.testing.assert_allclose(a["bbox"], b["bbox"], atol=1e-2)
-        np.testing.assert_allclose(a["mask_score"], b["mask_score"],
-                                   atol=1e-4)
+        np.testing.assert_allclose(a["pred_bbox"], b["pred_bbox"],
+                                   atol=1e-2)
+        np.testing.assert_allclose(a["score"], b["score"], atol=1e-4)
         np.testing.assert_allclose(a["stability_score"],
                                    b["stability_score"], atol=1e-4)

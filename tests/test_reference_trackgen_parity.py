@@ -1032,3 +1032,122 @@ def test_ytbvos_gt_tokens_match_reference_script(tmp_path):
     assert set(ref_t) == set(our_t)
     for key in ref_t:
         np.testing.assert_array_equal(ref_t[key], our_t[key], err_msg=key)
+
+
+# ---------------------------------------------------------------------------
+# Stage 1b: generate_prompts_gdino.py — grounded prompts + GT IoU tagging
+# ---------------------------------------------------------------------------
+
+def _run_reference_prompts_gdino(workdir: str) -> None:
+    """The gdino prompt script's orchestration (per-frame/expression loop,
+    GT IoU tagging with the absent-frame 0.0 convention, schema, area
+    sort) with the PromptGenerator module faked by the shared
+    deterministic backend."""
+    fake_pkg = os.path.join(workdir, "_fake_pkgs")
+    os.makedirs(fake_pkg, exist_ok=True)
+    with open(os.path.join(fake_pkg, "prompt_generator.py"), "w") as f:
+        f.write(textwrap.dedent("""\
+            import sys
+
+            import numpy as np
+
+            sys.path.insert(0, "/root/repo")
+            from tests.fake_amg_backend import fake_grounded_preds
+
+
+            class PromptGenerator:
+                def __init__(self, **kw):
+                    pass
+
+                def generate_prompts(self, raw_image, raw_texts):
+                    return fake_grounded_preds(np.asarray(raw_image),
+                                               raw_texts)
+            """))
+    driver = os.path.join(workdir, "_driver_prompts_gdino.py")
+    with open(driver, "w") as f:
+        f.write(textwrap.dedent(f"""\
+            import sys, types
+            import numpy as np
+            sys.path.insert(0, "/root/repo")
+            from sola_tpu.core import rle as _rle
+
+            mask_mod = types.ModuleType("pycocotools.mask")
+
+            def _encode(arr):
+                e = _rle.encode(np.asarray(arr))
+                return {{"size": e["size"], "counts": e["counts"].encode()}}
+
+            mask_mod.encode = _encode
+            mask_mod.decode = _rle.decode
+            mask_mod.area = _rle.area
+            pkg = types.ModuleType("pycocotools")
+            pkg.mask = mask_mod
+            sys.modules["pycocotools"] = pkg
+            sys.modules["pycocotools.mask"] = mask_mod
+            sys.modules["cv2"] = types.ModuleType("cv2")
+
+            # fake_pkg LAST so it shadows the reference's own
+            # prompt_generator.py
+            sys.path.insert(0, "/root/reference/track_generation")
+            sys.path.insert(0, {fake_pkg!r})
+            sys.argv = ["generate_prompts_gdino.py",
+                        "--dataset", "mevis", "--data_type", "train",
+                        "--bin_size", "2"]
+            import runpy
+            runpy.run_path("/root/reference/track_generation/"
+                           "generate_prompts_gdino.py",
+                           run_name="__main__")
+            """))
+    env = dict(os.environ, PYTHONPATH="")
+    proc = subprocess.run([sys.executable, driver], cwd=workdir,
+                          capture_output=True, text=True, env=env,
+                          timeout=600)
+    assert proc.returncode == 0, (proc.stdout[-3000:], proc.stderr[-3000:])
+
+
+def test_gdino_prompts_match_reference_script(tmp_path):
+    ref_dir = tmp_path / "ref"
+    our_dir = tmp_path / "ours"
+    for d in (ref_dir, our_dir):
+        # reuse the GT fixture: frames + mask_dict with None frames (train
+        # split -> the reference auto-loads GT and tags per-anno IoU); add
+        # a second expression so per-expression tagging is exercised
+        _make_gt_dataset(str(d))
+
+    _run_reference_prompts_gdino(str(ref_dir))
+
+    from sola_tpu.trackgen import prompts_gdino
+    from tests.fake_amg_backend import FakePromptGenerator
+
+    prompts_gdino.main(
+        ["--dataset", "mevis", "--data_type", "train", "--bin_size", "2",
+         "--data_root", str(our_dir), "--output_root", str(our_dir)],
+        generator_factory=FakePromptGenerator)
+
+    def load(workdir):
+        p = os.path.join(workdir, "sam2_prompts/gdino_prompts/mevis/train",
+                         "video_a.json")
+        with open(p) as f:
+            return json.load(f)
+
+    r, o = load(str(ref_dir)), load(str(our_dir))
+    assert r["video_id"] == o["video_id"]
+    assert r["bin_size"] == o["bin_size"]
+    assert len(r["prompt_masks"]) == len(o["prompt_masks"]) > 0
+    for rp, op in zip(r["prompt_masks"], o["prompt_masks"]):
+        assert set(rp) == set(op), "schema keys differ"
+        assert rp["segmentation"]["counts"] == op["segmentation"]["counts"]
+        for k in ("frame_idx", "expression_id", "prompt_id", "pred_phrase",
+                  "pred_bbox", "token_score"):
+            assert rp[k] == op[k], (k, rp[k], op[k])
+        # the reference's GT branch stores area as a FLOAT (.item() on a
+        # float tensor sum) — the json types must agree exactly
+        assert type(rp["area"]) is type(op["area"]), (
+            "area json type differs", rp["area"], op["area"])
+        assert rp["area"] == op["area"]
+        for k in ("stability_score", "score", "area_ratio"):
+            assert abs(rp[k] - op[k]) < 1e-9, k
+        assert set(rp["metrics"]) == set(op["metrics"])
+        for gid in rp["metrics"]:
+            assert abs(rp["metrics"][gid]["iou"]
+                       - op["metrics"][gid]["iou"]) < 1e-6, gid
