@@ -698,11 +698,25 @@ def main() -> None:
         return
     only = os.environ.get("SOLA_BENCH_ONLY")  # comma list, e.g. "trackgen"
     only = set(only.split(",")) if only else None
+    # trackgen FIRST: it produces the headline metric, and its programs
+    # are the ones most likely to need a cold recompile (10-25 min each
+    # through the relay) — if an external watchdog cuts the run short, the
+    # headline must already be in hand. 4500 s budget = one worst-case
+    # compile + the measured section.
+    if os.environ.get("SOLA_BENCH_SKIP_TRACKGEN") != "1" and (
+            only is None or "trackgen" in only):
+        try:
+            metrics.update(_with_timeout(
+                lambda: bench_trackgen(
+                    n_frames=int(os.environ.get("SOLA_BENCH_FRAMES", "32"))),
+                4500))
+        except Exception as e:
+            errors["trackgen"] = f"{type(e).__name__}: {e}"
     for name, fn, budget in [("selection", bench_selection, 1200),
                              ("train", bench_train_step, 1200),
                              ("loader", bench_loader_train, 1500),
                              ("roberta", bench_roberta, 900),
-                             ("gdino", bench_gdino, 1500)]:
+                             ("gdino", bench_gdino, 2400)]:
         if only is not None and name not in only:
             continue
         try:
@@ -716,15 +730,6 @@ def main() -> None:
         ratio = (metrics["loader_train_pairs_per_s"]
                  / metrics["selection_train_pairs_per_s"])
         metrics["train_step_idle_frac"] = round(max(0.0, 1.0 - ratio), 3)
-    if os.environ.get("SOLA_BENCH_SKIP_TRACKGEN") != "1" and (
-            only is None or "trackgen" in only):
-        try:
-            metrics.update(_with_timeout(
-                lambda: bench_trackgen(
-                    n_frames=int(os.environ.get("SOLA_BENCH_FRAMES", "32"))),
-                3000))
-        except Exception as e:
-            errors["trackgen"] = f"{type(e).__name__}: {e}"
     if os.environ.get("SOLA_BENCH_SKIP_PACKED") != "1" and (
             only is None or "packed" in only):
         try:
