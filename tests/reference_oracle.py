@@ -219,3 +219,72 @@ def run_reference_eval(configs: dict, state_dict: dict, text_encoder):
     metrics["mean_F"] = float(np.mean(Fs))
     metrics["mean_JF"] = float(np.mean(JFs))
     return metrics, JF_dict, pred_dict
+
+
+def install_fake_roberta(text_encoder):
+    """Patch the reference evaluator module's AutoTokenizer/AutoModel with
+    a hash-backed stand-in producing EXACTLY the embeddings
+    ``text_encoder`` (HashTextEncoder) produces — so the reference's OWN
+    ``Evaluator.evaluate()`` (evaluator.py:54-247) can run verbatim in a
+    zero-egress environment against our evaluator on shared inputs.
+    Returns a handle that restores the original attributes."""
+    import torch
+
+    ref = load_reference()
+
+    class _Out:
+        def __init__(self, hidden):
+            self.last_hidden_state = hidden
+
+        def __getitem__(self, i):  # mean_pooling uses model_output[0]
+            if i != 0:
+                raise IndexError(i)
+            return self.last_hidden_state
+
+    class _Batch(dict):
+        def to(self, device):
+            return self
+
+    class _Tok:
+        @classmethod
+        def from_pretrained(cls, name):
+            return cls()
+
+        def __call__(self, texts, padding=True, return_tensors="pt"):
+            ids, mask = text_encoder.tokenizer(
+                texts, max_len=text_encoder.max_len)
+            ids = np.asarray(ids)
+            mask = np.asarray(mask)
+            # padding="longest": trim to the batch's longest valid prefix
+            n = max(int(mask.sum(axis=1).max()), 1)
+            return _Batch(
+                input_ids=torch.as_tensor(ids[:, :n]),
+                attention_mask=torch.as_tensor(
+                    mask[:, :n].astype(np.int64)))
+
+    class _Model:
+        @classmethod
+        def from_pretrained(cls, name):
+            return cls()
+
+        def eval(self):
+            return self
+
+        def to(self, device):
+            return self
+
+        def __call__(self, input_ids=None, attention_mask=None, **kw):
+            table = np.asarray(text_encoder.table)
+            ids = input_ids.cpu().numpy()
+            hidden = table[ids % table.shape[0]]
+            hidden = hidden * attention_mask.cpu().numpy()[..., None]
+            return _Out(torch.as_tensor(hidden.astype(np.float32)))
+
+    saved = (ref["evaluator"].AutoTokenizer, ref["evaluator"].AutoModel)
+    ref["evaluator"].AutoTokenizer = _Tok
+    ref["evaluator"].AutoModel = _Model
+
+    def restore():
+        ref["evaluator"].AutoTokenizer, ref["evaluator"].AutoModel = saved
+
+    return restore

@@ -437,3 +437,94 @@ def test_gradient_parity_vs_reference():
             err_msg=f"gradient diverges at {name}")
         compared += 1
     assert compared == len(ref_grads) and compared >= 20
+
+
+def test_reference_evaluator_class_end_to_end(eval_workspace, tmp_path):
+    """The reference's OWN Evaluator class (evaluator.py:54-247) runs
+    verbatim — its roberta replaced by a hash-backed stand-in emitting
+    exactly our HashTextEncoder's embeddings — and its dumped
+    {metrics,JF_metrics} JSONs are diffed against our evaluator's. Unlike
+    test_evaluator_parity (whose reference side is a transcribed loop in
+    reference_oracle.py), here the loop, pooling, thresholding, masklet
+    merging, J/F, and JSON dumps are all the reference's own code."""
+    import json
+
+    import jax
+
+    from sola_tpu.eval.evaluator import Evaluator as OurEvaluator
+
+    configs = {k: (dict(v) if isinstance(v, dict) else v)
+               for k, v in eval_workspace["configs"].items()}
+    text = eval_workspace["text"]
+    cfg = SelectionConfig.from_dict(configs["model"])
+    model = SelectionModel(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(17),
+        jnp.zeros((1, 2, 8, cfg.object_token_dim), jnp.float32),
+        jnp.zeros((1, 3, cfg.lang_token_dim), jnp.float32))
+    state_dict = params_to_torch_state_dict(
+        {"params": variables["params"], "buffers": variables["buffers"]},
+        n_layers=cfg.n_layers)
+
+    our_dir = tmp_path / "ours"
+    ref_dir = tmp_path / "ref"
+    our_dir.mkdir()
+    ref_dir.mkdir()
+
+    ours = OurEvaluator(variables["params"], variables["buffers"], configs,
+                        eval_weight_epoch=3, text_encoder=text,
+                        eval_output_dir=str(our_dir))
+    ours.evaluate()
+
+    ref = reference_oracle.load_reference()
+    ref_model = reference_oracle.build_reference_model(configs["model"],
+                                                       state_dict)
+    ds_cfg = {k: (dict(v) if isinstance(v, dict) else v)
+              for k, v in configs["dataset"].items()}
+    ds_cfg["num_workers"] = 0
+    ref_configs = dict(configs)
+    ref_configs["model"] = dict(
+        configs["model"],
+        roberta_version="sentence-transformers/all-roberta-large-v1")
+    ref_configs["dataset"] = ds_cfg
+    ref_configs["results"] = dict(configs["results"],
+                                  eval_output_dir=str(ref_dir))
+    restore = reference_oracle.install_fake_roberta(text)
+    try:
+        import torch as _torch
+        evaluator = ref["evaluator"].Evaluator(
+            model=ref_model, configs=ref_configs, eval_weight_epoch=3,
+            device=_torch.device("cpu"))
+        evaluator.evaluate()
+    finally:
+        restore()
+
+    data_type = configs["dataset"]["valid"]["data_type"]
+    with open(our_dir / f"{data_type}_JF_metrics_3epoch.json") as f:
+        our_JF = json.load(f)
+    with open(ref_dir / f"{data_type}_JF_metrics_3epoch.json") as f:
+        ref_JF = json.load(f)
+    assert set(our_JF) == set(ref_JF) and ref_JF
+    for video_id in ref_JF:
+        assert set(our_JF[video_id]) == set(ref_JF[video_id])
+        for expression_id, entry in ref_JF[video_id].items():
+            mine = our_JF[video_id][expression_id]
+            assert mine["expression"] == entry["expression"]
+            for k in ("J", "F", "JF"):
+                assert abs(mine[k] - entry[k]) < 1e-6, (
+                    video_id, expression_id, k, mine[k], entry[k])
+
+    with open(our_dir / f"{data_type}_metrics_3epoch.json") as f:
+        our_metrics = json.load(f)
+    with open(ref_dir / f"{data_type}_metrics_3epoch.json") as f:
+        ref_metrics = json.load(f)
+    for k in ("tp", "fp", "tn", "fn"):
+        assert our_metrics[k] == ref_metrics[k], k
+    for k in ("accuracy", "precision", "recall", "f1",
+              "mean_J", "mean_F", "mean_JF"):
+        assert abs(our_metrics[k] - ref_metrics[k]) < 1e-5, (
+            k, our_metrics[k], ref_metrics[k])
+    # fp32 accumulation over the full alignment matrix: relative tolerance
+    assert abs(our_metrics["alignment_loss"]
+               - ref_metrics["alignment_loss"]) < 1e-4 * max(
+                   1.0, abs(ref_metrics["alignment_loss"]))
