@@ -1151,3 +1151,214 @@ def test_gdino_prompts_match_reference_script(tmp_path):
         for gid in rp["metrics"]:
             assert abs(rp["metrics"][gid]["iou"]
                        - op["metrics"][gid]["iou"]) < 1e-6, gid
+
+
+# ---------------------------------------------------------------------------
+# Entry script: inference.py — leaderboard PNG export
+# ---------------------------------------------------------------------------
+
+INFER_CFG = dict(object_token_dim=256, lang_token_dim=64, n_layers=1,
+                 max_temporal_length=100, n_negative=8, dropout_p=0.2,
+                 norm_type="group", n_groups=4, n_groups_module=8,
+                 roberta_version="sentence-transformers/all-roberta-large-v1")
+
+
+def _make_infer_workspace(root: str):
+    """Synthetic corpus + a config yaml both entry scripts accept + a
+    shared .pth checkpoint at the reference's templated path."""
+    import yaml
+
+    import jax
+
+    sys.path.insert(0, "/root/repo")
+    from sola_tpu.data import synthetic
+    from sola_tpu.models.convert import params_to_torch_state_dict
+    from sola_tpu.models.selection import SelectionConfig, SelectionModel
+
+    ds = synthetic.generate(root, n_videos=2, n_frames=16, n_objects=2,
+                            n_distractors=3, seed=23)
+    cfg = SelectionConfig.from_dict(INFER_CFG)
+    model = SelectionModel(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(31),
+        np.zeros((1, 2, 8, cfg.object_token_dim), np.float32),
+        np.zeros((1, 3, cfg.lang_token_dim), np.float32))
+    state_dict = params_to_torch_state_dict(
+        {"params": variables["params"], "buffers": variables["buffers"]},
+        n_layers=cfg.n_layers)
+
+    configs = {
+        "exp_name": "inf_parity",
+        "model": dict(INFER_CFG),
+        "train": {"n_epochs": 1, "pred_threshold": 0.5,
+                  "temperature": 0.07, "alignment_weight": 0.3,
+                  "lr": 5e-6, "lr_factor": 0.5, "lr_patience": 5,
+                  "grad_clip_norm": 1.0, "positive_metric": "iou",
+                  "positive_threshold": 0.7, "positive_weight": 1.5},
+        "dataset": ds["configs"],
+        "eval": {"pred_threshold": 0.5},
+        "results": {"output_dir": os.path.join(root, "TRAIN"),
+                    "eval_output_dir": os.path.join(root, "EVAL"),
+                    "test_output_dir": os.path.join(root, "INFER")},
+    }
+    os.makedirs(os.path.join(root, "configs"), exist_ok=True)
+    with open(os.path.join(root, "configs", "inf_parity.yaml"), "w") as f:
+        yaml.dump(configs, f)
+
+    # the reference's weights path: output_dir/<exp_name>/<train
+    # data_name>/epoch_N.pth (inference.py:27-33 after get_configs
+    # appends exp_name)
+    wdir = os.path.join(root, "TRAIN", "inf_parity",
+                        configs["dataset"]["train"]["data_name"])
+    os.makedirs(wdir, exist_ok=True)
+    # tensors, not numpy: the reference loads with weights_only=True
+    # (inference.py:33), which rejects non-tensor payloads
+    torch.save({k: torch.as_tensor(np.asarray(v))
+                for k, v in state_dict.items()},
+               os.path.join(wdir, "epoch_3.pth"))
+    return configs
+
+
+def _run_reference_inference(workdir: str) -> None:
+    driver = os.path.join(workdir, "_driver_inference.py")
+    lang_dim = INFER_CFG["lang_token_dim"]
+    with open(driver, "w") as f:
+        f.write(textwrap.dedent(f"""\
+            import sys, types
+            import numpy as np
+            sys.path.insert(0, "/root/repo")
+            from sola_tpu.core import rle as _rle
+            from sola_tpu.models.text import HashTextEncoder
+
+            mask_mod = types.ModuleType("pycocotools.mask")
+
+            def _encode(arr):
+                e = _rle.encode(np.asarray(arr))
+                return {{"size": e["size"], "counts": e["counts"].encode()}}
+
+            mask_mod.encode = _encode
+            mask_mod.decode = _rle.decode
+            mask_mod.area = _rle.area
+            pkg = types.ModuleType("pycocotools")
+            pkg.mask = mask_mod
+            sys.modules["pycocotools"] = pkg
+            sys.modules["pycocotools.mask"] = mask_mod
+
+            # fake transformers emitting exactly the HashTextEncoder
+            # embeddings our CLI falls back to offline
+            # (models/text.py:build_text_encoder default params)
+            import torch
+            enc = HashTextEncoder(hidden_size={lang_dim})
+
+            class _Out:
+                def __init__(self, hidden):
+                    self.last_hidden_state = hidden
+
+                def __getitem__(self, i):
+                    if i != 0:
+                        raise IndexError(i)
+                    return self.last_hidden_state
+
+            class _Batch(dict):
+                def to(self, device):
+                    return self
+
+            class AutoTokenizer:
+                @classmethod
+                def from_pretrained(cls, name, **kw):
+                    return cls()
+
+                def __call__(self, texts, padding=True,
+                             return_tensors="pt", **kw):
+                    ids, mask = enc.tokenizer(texts, max_len=enc.max_len)
+                    ids = np.asarray(ids)
+                    mask = np.asarray(mask)
+                    n = max(int(mask.sum(axis=1).max()), 1)
+                    return _Batch(
+                        input_ids=torch.as_tensor(ids[:, :n]),
+                        attention_mask=torch.as_tensor(
+                            mask[:, :n].astype(np.int64)))
+
+                batch_encode_plus = __call__
+
+            class AutoModel:
+                @classmethod
+                def from_pretrained(cls, name, **kw):
+                    return cls()
+
+                def eval(self):
+                    return self
+
+                def to(self, device):
+                    return self
+
+                def __call__(self, input_ids=None, attention_mask=None,
+                             **kw):
+                    table = np.asarray(enc.table)
+                    ids = input_ids.cpu().numpy()
+                    hidden = table[ids % table.shape[0]]
+                    hidden = hidden * attention_mask.cpu().numpy()[..., None]
+                    return _Out(torch.as_tensor(
+                        hidden.astype(np.float32)))
+
+            tf = types.ModuleType("transformers")
+            tf.AutoTokenizer = AutoTokenizer
+            tf.AutoModel = AutoModel
+            sys.modules["transformers"] = tf
+
+            sys.path.insert(0, "/root/reference")
+            sys.argv = ["inference.py", "--config", "inf_parity",
+                        "--eval_weight_epoch", "3",
+                        "--eval_pred_threshold", "0.5"]
+            import runpy
+            runpy.run_path("/root/reference/inference.py",
+                           run_name="__main__")
+            """))
+    env = dict(os.environ, PYTHONPATH="")
+    proc = subprocess.run([sys.executable, driver], cwd=workdir,
+                          capture_output=True, text=True, env=env,
+                          timeout=600)
+    assert proc.returncode == 0, (proc.stdout[-3000:], proc.stderr[-3000:])
+
+
+def test_inference_png_parity(tmp_path):
+    """The reference's inference.py ENTRY SCRIPT runs verbatim (config
+    yaml + CLI folding + templated dirs + torch.load(weights_only=True)
+    checkpoint + PNG export, inference.py:15-152) in its own workspace;
+    our inference CLI runs in an identically built one; the exported PNG
+    trees must agree pixel for pixel."""
+    import imageio.v2 as iio
+
+    ref_dir = str(tmp_path / "ref")
+    our_dir = str(tmp_path / "ours")
+    os.makedirs(ref_dir)
+    os.makedirs(our_dir)
+    cfg_ref = _make_infer_workspace(ref_dir)
+    cfg_our = _make_infer_workspace(our_dir)
+    _run_reference_inference(ref_dir)
+
+    from sola_tpu.cli import inference as inf_cli
+    inf_cli.main(["--config", os.path.join(our_dir, "configs",
+                                           "inf_parity.yaml"),
+                  "--eval_weight_epoch", "3",
+                  "--eval_pred_threshold", "0.5"])
+
+    def png_tree(root_dir, configs):
+        data_name = configs["dataset"]["test"]["data_name"]
+        base = os.path.join(root_dir, "INFER", "inf_parity", data_name,
+                            "pred_threshold_05", "epoch_3")
+        out = {}
+        for dirpath, _, files in os.walk(base):
+            for fn in sorted(files):
+                if fn.endswith(".png"):
+                    rel = os.path.relpath(os.path.join(dirpath, fn), base)
+                    out[rel] = np.asarray(iio.imread(
+                        os.path.join(dirpath, fn)))
+        return out
+
+    ref_pngs = png_tree(ref_dir, cfg_ref)
+    our_pngs = png_tree(our_dir, cfg_our)
+    assert set(ref_pngs) == set(our_pngs) and ref_pngs, "PNG trees differ"
+    for rel in ref_pngs:
+        np.testing.assert_array_equal(our_pngs[rel], ref_pngs[rel],
+                                      err_msg=rel)
