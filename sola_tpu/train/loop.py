@@ -286,6 +286,14 @@ def train(configs: dict, max_steps_per_epoch: Optional[int] = None,
         lr=float(train_cfg["lr"]),
         grad_clip_norm=float(train_cfg.get("grad_clip_norm", 0.0)))
     tstate = state_lib.create_train_state(cfg, optimizer)
+    init_weights = train_cfg.get("init_weights")
+    if init_weights:
+        # warm-start from a reference-format checkpoint (.pth or our .npz
+        # export) — e.g. fine-tune from a torch-trained epoch_N.pth
+        loaded = state_lib.load_torch_weights(init_weights, cfg.n_layers)
+        tstate = tstate.replace(params=loaded["params"],
+                                buffers=loaded["buffers"])
+        log_fn(f"initialized weights from {init_weights}")
     schedule = ReduceLROnPlateau(
         lr=float(train_cfg["lr"]),
         factor=float(train_cfg.get("lr_factor", 0.5)),
