@@ -26,6 +26,8 @@ for section in trackgen packed gdino selection train loader roberta; do
 done
 
 echo "=== full driver-exact bench ($(date)) ==="
-timeout 5400 python bench.py > /tmp/warm_full.log 2>&1
+# budget >= the sum of bench.py's section budgets (~13200s) so a section
+# that stayed cold (a failed warm pass above) can still compile here
+timeout 14400 python bench.py > /tmp/warm_full.log 2>&1
 echo "rc=$?"
 tail -c 1500 /tmp/warm_full.log

@@ -183,13 +183,16 @@ def generate_video_prompts(prompt_generator: PromptGenerator, frames: list,
                     for anno_id in anno_ids_by_expr.get(expr_id, []):
                         gt = gt_masklets.get(str(anno_id),
                                              gt_masklets.get(anno_id))
-                        if gt is None or gt[fi] is None:
+                        row = None if gt is None else gt[fi]
+                        if row is None:
                             entry["metrics"][str(anno_id)] = {"iou": 0.0}
                             continue
+                        if isinstance(row, dict):  # lazy RLE row
+                            row = rle.decode(row)
                         entry["metrics"][str(anno_id)] = {"iou": float(
                             mask_ops.mask_iou(
                                 mask.astype(np.float32),
-                                np.asarray(gt[fi], np.float32)))}
+                                np.asarray(row, np.float32)))}
                 prompt_masks.append(entry)
 
     prompt_masks.sort(key=lambda x: x["area"], reverse=True)
@@ -289,13 +292,13 @@ def main(argv=None, generator_factory=None) -> None:
                 anno_ids_by_expr[expr_id] = em.get("anno_id", [])
                 for anno_id in em.get("anno_id", []):
                     if str(anno_id) not in gt_masklets:
-                        # keep absent frames as None (NOT zero-filled):
-                        # the reference short-circuits them to iou 0.0
-                        # (generate_prompts_gdino.py:160-175), which
-                        # differs from an empty-vs-empty IoU convention
-                        gt_masklets[str(anno_id)] = [
-                            rle.decode(r) if r is not None else None
-                            for r in mask_dict[str(anno_id)]]
+                        # raw RLE rows, decoded lazily per visited frame
+                        # (the reference decodes only binned frames,
+                        # generate_prompts_gdino.py:158-165); absent
+                        # frames stay None — the reference short-circuits
+                        # them to iou 0.0, which differs from an
+                        # empty-vs-empty IoU convention
+                        gt_masklets[str(anno_id)] = mask_dict[str(anno_id)]
         info = generate_video_prompts(generator, frames, video_id,
                                       expressions, args.bin_size,
                                       gt_masklets, anno_ids_by_expr)

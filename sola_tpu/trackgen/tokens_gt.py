@@ -1,10 +1,13 @@
 """GT-prompted token generation (training labels).
 
-Port of generate_tokens_GT_{mevis,ytbvos}.py: each GT object is seeded with
-its own mask at every appearance onset (gt_utils.get_prompt_masks — the
-function the reference calls but never defines, SURVEY.md §2.5), propagated
-bidirectionally, and saved as a ``gt_tracks`` artifact keyed by the GT
-anno id with ``prompt_type: "GT MASK"``.
+Port of generate_tokens_GT_{mevis,ytbvos}.py: each GT object yields one
+seed per appearance onset (gt_utils.get_prompt_masks — the function the
+reference calls but never defines, SURVEY.md §2.5); each seed is tracked
+in its OWN reset+bidirectional propagation and saved as a ``gt_tracks``
+artifact named by a running (object, seed) counter with
+``prompt_type: "GT MASK"`` — the reference's exact output scheme
+(generate_tokens_GT_mevis.py:95-160; NOT keyed by GT anno id — that
+mapping lives in runtime_info's ``gt_anno_id`` field).
 """
 
 from __future__ import annotations

@@ -114,7 +114,10 @@ def _run_reference(workdir: str, bin_size: int, pid=0, n_pid=1) -> None:
             import runpy
             runpy.run_path({REF_SCRIPT!r}, run_name="__main__")
             """))
-    env = dict(os.environ, PYTHONPATH="")
+    # PYTHONPATH stripped -> the axon sitecustomize is gone, but the
+    # inherited JAX_PLATFORMS=axon would still crash any jax import in
+    # the child; force cpu
+    env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
     proc = subprocess.run([sys.executable, driver], cwd=workdir,
                           capture_output=True, text=True, env=env,
                           timeout=600)
@@ -371,7 +374,10 @@ def _run_reference_tokens(workdir: str, bin_size: int, batch_size: int,
                 "/root/reference/track_generation/generate_tokens_grid.py",
                 run_name="__main__")
             """))
-    env = dict(os.environ, PYTHONPATH="")
+    # PYTHONPATH stripped -> the axon sitecustomize is gone, but the
+    # inherited JAX_PLATFORMS=axon would still crash any jax import in
+    # the child; force cpu
+    env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
     proc = subprocess.run([sys.executable, driver], cwd=workdir,
                           capture_output=True, text=True, env=env,
                           timeout=600)
@@ -581,7 +587,10 @@ def _run_reference_tokens_gdino(workdir: str) -> None:
                 "/root/reference/track_generation/generate_tokens_gdino.py",
                 run_name="__main__")
             """))
-    env = dict(os.environ, PYTHONPATH="")
+    # PYTHONPATH stripped -> the axon sitecustomize is gone, but the
+    # inherited JAX_PLATFORMS=axon would still crash any jax import in
+    # the child; force cpu
+    env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
     proc = subprocess.run([sys.executable, driver], cwd=workdir,
                           capture_output=True, text=True, env=env,
                           timeout=600)
@@ -792,7 +801,10 @@ def _run_reference_tokens_gt(workdir: str) -> None:
                            "generate_tokens_GT_mevis.py",
                            run_name="__main__")
             """))
-    env = dict(os.environ, PYTHONPATH="")
+    # PYTHONPATH stripped -> the axon sitecustomize is gone, but the
+    # inherited JAX_PLATFORMS=axon would still crash any jax import in
+    # the child; force cpu
+    env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
     proc = subprocess.run([sys.executable, driver], cwd=workdir,
                           capture_output=True, text=True, env=env,
                           timeout=600)
@@ -964,7 +976,10 @@ def _run_reference_tokens_ytbvos(workdir: str) -> None:
                            "generate_tokens_GT_ytbvos.py",
                            run_name="__main__")
             """))
-    env = dict(os.environ, PYTHONPATH="")
+    # PYTHONPATH stripped -> the axon sitecustomize is gone, but the
+    # inherited JAX_PLATFORMS=axon would still crash any jax import in
+    # the child; force cpu
+    env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
     proc = subprocess.run([sys.executable, driver], cwd=workdir,
                           capture_output=True, text=True, env=env,
                           timeout=600)
@@ -1098,7 +1113,10 @@ def _run_reference_prompts_gdino(workdir: str) -> None:
                            "generate_prompts_gdino.py",
                            run_name="__main__")
             """))
-    env = dict(os.environ, PYTHONPATH="")
+    # PYTHONPATH stripped -> the axon sitecustomize is gone, but the
+    # inherited JAX_PLATFORMS=axon would still crash any jax import in
+    # the child; force cpu
+    env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
     proc = subprocess.run([sys.executable, driver], cwd=workdir,
                           capture_output=True, text=True, env=env,
                           timeout=600)
@@ -1317,7 +1335,10 @@ def _run_reference_inference(workdir: str) -> None:
             runpy.run_path("/root/reference/inference.py",
                            run_name="__main__")
             """))
-    env = dict(os.environ, PYTHONPATH="")
+    # PYTHONPATH stripped -> the axon sitecustomize is gone, but the
+    # inherited JAX_PLATFORMS=axon would still crash any jax import in
+    # the child; force cpu
+    env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
     proc = subprocess.run([sys.executable, driver], cwd=workdir,
                           capture_output=True, text=True, env=env,
                           timeout=600)
@@ -1487,7 +1508,10 @@ def _run_reference_train(workdir: str) -> None:
             import runpy
             runpy.run_path("/root/reference/train.py", run_name="__main__")
             """))
-    env = dict(os.environ, PYTHONPATH="")
+    # PYTHONPATH stripped -> the axon sitecustomize is gone, but the
+    # inherited JAX_PLATFORMS=axon would still crash any jax import in
+    # the child; force cpu
+    env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
     proc = subprocess.run([sys.executable, driver], cwd=workdir,
                           capture_output=True, text=True, env=env,
                           timeout=600)
