@@ -1591,3 +1591,160 @@ def test_train_script_valid_epoch_matches_reference(tmp_path):
     # printed with 4 decimals on both sides -> 2e-4 covers rounding
     for key in ("loss", "bce", "align", "acc", "f1", "prec", "rec"):
         assert abs(ref_v[key] - our_v[key]) < 2e-4, (key, ref_v, our_v)
+
+
+# ---------------------------------------------------------------------------
+# Entry script: eval.py — metrics + J&F JSON dumps
+# ---------------------------------------------------------------------------
+
+def _run_reference_eval_script(workdir: str) -> None:
+    driver = os.path.join(workdir, "_driver_eval.py")
+    lang_dim = INFER_CFG["lang_token_dim"]
+    with open(driver, "w") as f:
+        f.write(textwrap.dedent(f"""\
+            import sys, types
+            import numpy as np
+            sys.path.insert(0, "/root/repo")
+            from sola_tpu.core import rle as _rle
+            from sola_tpu.models.text import HashTextEncoder
+
+            mask_mod = types.ModuleType("pycocotools.mask")
+
+            def _encode(arr):
+                e = _rle.encode(np.asarray(arr))
+                return {{"size": e["size"], "counts": e["counts"].encode()}}
+
+            mask_mod.encode = _encode
+            mask_mod.decode = _rle.decode
+            mask_mod.area = _rle.area
+            pkg = types.ModuleType("pycocotools")
+            pkg.mask = mask_mod
+            sys.modules["pycocotools"] = pkg
+            sys.modules["pycocotools.mask"] = mask_mod
+
+            import torch
+            enc = HashTextEncoder(hidden_size={lang_dim})
+
+            class _Out:
+                def __init__(self, hidden):
+                    self.last_hidden_state = hidden
+
+                def __getitem__(self, i):
+                    if i != 0:
+                        raise IndexError(i)
+                    return self.last_hidden_state
+
+            class _Batch(dict):
+                def to(self, device):
+                    return self
+
+            class AutoTokenizer:
+                @classmethod
+                def from_pretrained(cls, name, **kw):
+                    return cls()
+
+                def __call__(self, texts, padding=True,
+                             return_tensors="pt", **kw):
+                    ids, mask = enc.tokenizer(texts, max_len=enc.max_len)
+                    ids = np.asarray(ids)
+                    mask = np.asarray(mask)
+                    n = max(int(mask.sum(axis=1).max()), 1)
+                    return _Batch(
+                        input_ids=torch.as_tensor(ids[:, :n]),
+                        attention_mask=torch.as_tensor(
+                            mask[:, :n].astype(np.int64)))
+
+                batch_encode_plus = __call__
+
+            class AutoModel:
+                @classmethod
+                def from_pretrained(cls, name, **kw):
+                    return cls()
+
+                def eval(self):
+                    return self
+
+                def to(self, device):
+                    return self
+
+                def __call__(self, input_ids=None, attention_mask=None,
+                             **kw):
+                    table = np.asarray(enc.table)
+                    ids = input_ids.cpu().numpy()
+                    hidden = table[ids % table.shape[0]]
+                    hidden = hidden * attention_mask.cpu().numpy()[..., None]
+                    return _Out(torch.as_tensor(
+                        hidden.astype(np.float32)))
+
+            tf = types.ModuleType("transformers")
+            tf.AutoTokenizer = AutoTokenizer
+            tf.AutoModel = AutoModel
+            sys.modules["transformers"] = tf
+
+            sys.path.insert(0, "/root/reference")
+            sys.argv = ["eval.py", "--config", "inf_parity",
+                        "--eval_weight_epoch", "3",
+                        "--eval_pred_threshold", "0.5"]
+            import runpy
+            runpy.run_path("/root/reference/eval.py", run_name="__main__")
+            """))
+    # PYTHONPATH stripped -> the axon sitecustomize is gone, but the
+    # inherited JAX_PLATFORMS=axon would still crash any jax import in
+    # the child; force cpu
+    env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
+    proc = subprocess.run([sys.executable, driver], cwd=workdir,
+                          capture_output=True, text=True, env=env,
+                          timeout=600)
+    assert proc.returncode == 0, (proc.stdout[-3000:], proc.stderr[-3000:])
+
+
+def test_eval_script_matches_reference(tmp_path):
+    """The reference's eval.py ENTRY SCRIPT runs verbatim (config yaml +
+    folding + templated eval dir + torch.load checkpoint + the Evaluator
+    class end to end, eval.py:12-98) against our eval CLI on an
+    identically built workspace; the dumped metrics/JF JSONs must agree."""
+    ref_dir = str(tmp_path / "ref")
+    our_dir = str(tmp_path / "ours")
+    os.makedirs(ref_dir)
+    os.makedirs(our_dir)
+    _make_infer_workspace(ref_dir)
+    _make_infer_workspace(our_dir)
+    _run_reference_eval_script(ref_dir)
+
+    from sola_tpu.cli import eval as eval_cli
+    eval_cli.main(["--config", os.path.join(our_dir, "configs",
+                                            "inf_parity.yaml"),
+                   "--eval_weight_epoch", "3",
+                   "--eval_pred_threshold", "0.5"])
+
+    def load_jsons(root_dir):
+        base = os.path.join(root_dir, "EVAL", "inf_parity", "mevis",
+                            "pred_threshold_05", "epoch_3")
+        with open(os.path.join(base,
+                               "valid_u_metrics_3epoch.json")) as f:
+            metrics = json.load(f)
+        with open(os.path.join(base,
+                               "valid_u_JF_metrics_3epoch.json")) as f:
+            jf = json.load(f)
+        return metrics, jf
+
+    ref_m, ref_jf = load_jsons(ref_dir)
+    our_m, our_jf = load_jsons(our_dir)
+
+    for k in ("tp", "fp", "tn", "fn"):
+        assert our_m[k] == ref_m[k], k
+    for k in ("accuracy", "precision", "recall", "f1",
+              "mean_J", "mean_F", "mean_JF"):
+        assert abs(our_m[k] - ref_m[k]) < 1e-5, (k, our_m[k], ref_m[k])
+    assert abs(our_m["alignment_loss"] - ref_m["alignment_loss"]) < 1e-4 \
+        * max(1.0, abs(ref_m["alignment_loss"]))
+
+    assert set(our_jf) == set(ref_jf) and ref_jf
+    for video_id in ref_jf:
+        assert set(our_jf[video_id]) == set(ref_jf[video_id])
+        for expression_id, entry in ref_jf[video_id].items():
+            mine = our_jf[video_id][expression_id]
+            assert mine["expression"] == entry["expression"]
+            for k in ("J", "F", "JF"):
+                assert abs(mine[k] - entry[k]) < 1e-6, (
+                    video_id, expression_id, k)
