@@ -662,27 +662,42 @@ def _with_timeout(fn, seconds: int):
         signal.signal(signal.SIGALRM, old)
 
 
-def _probe_backend(budget_s: int = 300) -> Optional[str]:
+def _probe_backend(budget_s: Optional[int] = None,
+                   attempts: Optional[int] = None) -> Optional[str]:
     """Fail fast when the device backend is unreachable (the tunneled
     relay can die mid-session; without this every section would burn its
     full timeout before the error surfaced). Probes in a SUBPROCESS —
     a dead relay can hang the first device op inside native code, where
     SIGALRM never fires. Returns an error string or None. The tiny
-    matmul compiles in seconds even through the relay."""
+    matmul compiles in seconds even through the relay.
+
+    Retries: a relay that is alive but mid-reconnect can leave one probe
+    hanging (observed: a 90 s probe succeeds minutes before a 300 s one
+    hangs), and a single false negative zeroes the whole bench — so the
+    probe must be at least as patient as the flap it guards against.
+    Tunable via SOLA_PROBE_BUDGET (s per attempt) / SOLA_PROBE_ATTEMPTS."""
     import subprocess
 
+    budget_s = budget_s or int(os.environ.get("SOLA_PROBE_BUDGET", "300"))
+    attempts = attempts or int(os.environ.get("SOLA_PROBE_ATTEMPTS", "3"))
     code = ("import jax.numpy as jnp\n"
             "x = jnp.ones((128, 128), jnp.float32)\n"
             "print('probe-ok', float(jnp.sum(x @ x)))\n")
-    try:
-        proc = subprocess.run([sys.executable, "-c", code],
-                              capture_output=True, text=True,
-                              timeout=budget_s)
-    except subprocess.TimeoutExpired:
-        return f"device probe timed out after {budget_s}s"
-    if proc.returncode != 0 or "probe-ok" not in proc.stdout:
-        return f"device probe failed: {proc.stderr.strip()[-500:]}"
-    return None
+    last = "no probe attempts configured"
+    for attempt in range(max(attempts, 1)):
+        try:
+            proc = subprocess.run([sys.executable, "-c", code],
+                                  capture_output=True, text=True,
+                                  timeout=budget_s)
+        except subprocess.TimeoutExpired:
+            last = (f"device probe timed out after {budget_s}s "
+                    f"(attempt {attempt + 1}/{attempts})")
+            continue
+        if proc.returncode == 0 and "probe-ok" in proc.stdout:
+            return None
+        last = (f"device probe failed (attempt {attempt + 1}/{attempts}): "
+                f"{proc.stderr.strip()[-500:]}")
+    return last
 
 
 def main() -> None:
