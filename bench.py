@@ -700,9 +700,104 @@ def _probe_backend(budget_s: Optional[int] = None,
     return last
 
 
-def main() -> None:
+# (name, budget_s) in run order. trackgen FIRST: it produces the headline
+# metric, and its programs are the ones most likely to need a cold
+# recompile (10-25 min each through the relay) — if an external watchdog
+# cuts the run short, the headline must already be in hand. 4500 s budget
+# = one worst-case compile + the measured section.
+SECTIONS = [("trackgen", 4500), ("selection", 1200), ("train", 1200),
+            ("loader", 1500), ("roberta", 900), ("gdino", 2400),
+            ("packed", 1500)]
+
+
+def _section_enabled(name: str, only: Optional[set]) -> bool:
+    if only is not None:
+        return name in only
+    if name == "trackgen":
+        return os.environ.get("SOLA_BENCH_SKIP_TRACKGEN") != "1"
+    if name == "packed":
+        return os.environ.get("SOLA_BENCH_SKIP_PACKED") != "1"
+    return True
+
+
+def _run_sections_inprocess(only: Optional[set]) -> tuple:
+    """Run the selected sections in THIS process (the child path of the
+    subprocess driver below, and the SOLA_BENCH_ONLY debugging path)."""
     metrics: dict = {}
     errors: dict = {}
+    fns = {"trackgen": lambda: bench_trackgen(
+               n_frames=int(os.environ.get("SOLA_BENCH_FRAMES", "32"))),
+           "selection": bench_selection, "train": bench_train_step,
+           "loader": bench_loader_train, "roberta": bench_roberta,
+           "gdino": bench_gdino, "packed": bench_packed}
+    for name, budget in SECTIONS:
+        if not _section_enabled(name, only):
+            continue
+        try:
+            metrics.update(_with_timeout(fns[name], budget))
+        except Exception as e:  # report partial results, never crash
+            errors[name] = f"{type(e).__name__}: {e}"
+    return metrics, errors
+
+
+def _run_sections_subprocess(only: Optional[set],
+                             cmd: Optional[list] = None) -> tuple:
+    """Run each section as `python bench.py` with SOLA_BENCH_ONLY=<name>,
+    hard-killed on budget overrun. The in-process _with_timeout rests on
+    SIGALRM, which never fires while a device op is stuck inside native
+    code — and the tunneled relay dying mid-bench does exactly that. A
+    subprocess can always be killed, so one dead section (or a relay
+    flap) costs its budget, not the whole bench. The persistent compile
+    cache makes the per-section re-import cheap (~30 s). ``cmd`` overrides
+    the child argv (tests substitute a stub)."""
+    import subprocess
+
+    metrics: dict = {}
+    errors: dict = {}
+    for name, budget in SECTIONS:
+        if not _section_enabled(name, only):
+            continue
+        env = dict(os.environ, SOLA_BENCH_ONLY=name,
+                   # parent already probed with full patience; children
+                   # fail fast so a mid-bench relay death is cheap
+                   SOLA_PROBE_ATTEMPTS="1")
+        try:
+            proc = subprocess.run(
+                cmd or [sys.executable, os.path.abspath(__file__)],
+                capture_output=True, text=True, env=env,
+                timeout=budget + 180)
+        except subprocess.TimeoutExpired:
+            errors[name] = f"section killed after {budget + 180}s"
+            if _probe_backend(attempts=1) is not None:
+                errors["backend"] = ("relay died mid-bench; remaining "
+                                     "sections skipped")
+                break
+            continue
+        line = next((ln for ln in reversed(proc.stdout.splitlines())
+                     if ln.startswith("{")), None)
+        try:
+            payload = json.loads(line) if line else None
+        except json.JSONDecodeError:
+            payload = None
+        if payload is None:
+            errors[name] = (f"no JSON from section (rc={proc.returncode}):"
+                            f" {proc.stderr.strip()[-300:]}")
+            continue
+        metrics.update(payload.get("metrics", {}))
+        child_errors = payload.get("errors", {})
+        for key, msg in child_errors.items():
+            errors[key if key != "backend" else name] = msg
+        if ("backend" in child_errors
+                and _probe_backend(attempts=1) is not None):
+            # the child saw a dead backend and the parent confirms it:
+            # don't burn a probe budget per remaining section
+            errors["backend"] = ("relay died mid-bench; remaining "
+                                 "sections skipped")
+            break
+    return metrics, errors
+
+
+def main() -> None:
     probe_err = _probe_backend()
     if probe_err is not None:
         print(json.dumps({
@@ -713,31 +808,10 @@ def main() -> None:
         return
     only = os.environ.get("SOLA_BENCH_ONLY")  # comma list, e.g. "trackgen"
     only = set(only.split(",")) if only else None
-    # trackgen FIRST: it produces the headline metric, and its programs
-    # are the ones most likely to need a cold recompile (10-25 min each
-    # through the relay) — if an external watchdog cuts the run short, the
-    # headline must already be in hand. 4500 s budget = one worst-case
-    # compile + the measured section.
-    if os.environ.get("SOLA_BENCH_SKIP_TRACKGEN") != "1" and (
-            only is None or "trackgen" in only):
-        try:
-            metrics.update(_with_timeout(
-                lambda: bench_trackgen(
-                    n_frames=int(os.environ.get("SOLA_BENCH_FRAMES", "32"))),
-                4500))
-        except Exception as e:
-            errors["trackgen"] = f"{type(e).__name__}: {e}"
-    for name, fn, budget in [("selection", bench_selection, 1200),
-                             ("train", bench_train_step, 1200),
-                             ("loader", bench_loader_train, 1500),
-                             ("roberta", bench_roberta, 900),
-                             ("gdino", bench_gdino, 2400)]:
-        if only is not None and name not in only:
-            continue
-        try:
-            metrics.update(_with_timeout(fn, budget))
-        except Exception as e:  # report partial results, never crash
-            errors[name] = f"{type(e).__name__}: {e}"
+    if only is not None or os.environ.get("SOLA_BENCH_INPROCESS") == "1":
+        metrics, errors = _run_sections_inprocess(only)
+    else:
+        metrics, errors = _run_sections_subprocess(only)
     if ("loader_train_pairs_per_s" in metrics
             and "selection_train_pairs_per_s" in metrics):
         # fraction of wall time the step sits idle waiting on input (approx:
@@ -745,12 +819,6 @@ def main() -> None:
         ratio = (metrics["loader_train_pairs_per_s"]
                  / metrics["selection_train_pairs_per_s"])
         metrics["train_step_idle_frac"] = round(max(0.0, 1.0 - ratio), 3)
-    if os.environ.get("SOLA_BENCH_SKIP_PACKED") != "1" and (
-            only is None or "packed" in only):
-        try:
-            metrics.update(_with_timeout(bench_packed, 1500))
-        except Exception as e:
-            errors["packed"] = f"{type(e).__name__}: {e}"
 
     if "sam2_propagation_object_fps" in metrics:
         value = metrics["sam2_propagation_object_fps"]
