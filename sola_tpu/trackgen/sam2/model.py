@@ -187,8 +187,22 @@ class SAM2Model(nn.Module):
         object_score_logits (B, 1).
         """
         cfg = self.cfg
+        if mask_prompt is not None:
+            # bf16 mask-prompt conv path (same autocast rationale as below)
+            mask_prompt = mask_prompt.astype(pix_feat.dtype)
         sparse, dense = self.prompt_encoder(coords, labels, mask_prompt)
         pe = self.prompt_encoder.dense_pe()
+        # Cast the prompt embeddings/PE to the feature dtype at the decoder
+        # boundary: the fourier PE is fp32 (fp32 coords x bf16 gaussian
+        # promotes), and without this cast the fp32 sparse tokens promote
+        # EVERY matmul in the two-way transformer + upscale convs to fp32 —
+        # the whole decode path (AMG's 3k proposals/frame, propagation's
+        # per-frame sam_heads) off the bf16 MXU rate. No-op in fp32 parity
+        # mode; mirrors upstream's autocast-bf16 decoder
+        # (generate_tokens_grid.py:84-88).
+        dt = pix_feat.dtype
+        sparse, dense, pe = (sparse.astype(dt), dense.astype(dt),
+                             pe.astype(dt))
         low_res, ious, sam_token, obj_score = self.mask_decoder(
             pix_feat, pe, sparse, dense, multimask_output,
             high_res_features=(s0, s1))

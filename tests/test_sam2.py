@@ -246,3 +246,34 @@ def test_hiera_global_attention_fused_matches_dense():
     np.testing.assert_allclose(
         np.asarray(fused.apply(params, x)),
         np.asarray(dense.apply(params, x)), atol=2e-5, rtol=1e-5)
+
+
+def test_sam_heads_bf16_compute(tiny_model):
+    """bf16 params must yield a bf16 decoder: the prompt-encoder fourier PE
+    is fp32 (fp32 coords x gaussian), and before the sam_heads boundary cast
+    it silently promoted every two-way-transformer/upscale matmul to fp32
+    (off the MXU bf16 rate for AMG's 3k decodes/frame and propagation's
+    per-frame sam_heads). obj_ptr's dtype is the canary: it is computed
+    from the transformer's token output, so fp32 there means the whole
+    decode ran fp32. Mask logits stay fp32 by design
+    (preferred_element_type on the hypernetwork einsum)."""
+    cfg, model, variables = tiny_model
+    bf = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, variables)
+    b = 2
+    pix = jnp.ones((b, 4, 4, cfg.d_model), jnp.bfloat16)
+    s0 = jnp.zeros((b, 16, 16, cfg.d_model // 8), jnp.bfloat16)
+    s1 = jnp.zeros((b, 8, 8, cfg.d_model // 4), jnp.bfloat16)
+    coords = jnp.zeros((b, 2, 2), jnp.float32)
+    labels = jnp.array([[1, -1]] * b, jnp.int32)
+    # point-prompt path (AMG / propagation)
+    out = model.apply(bf, pix, s0, s1, coords, labels, None, True,
+                      method=SAM2Model.sam_heads)
+    assert out["obj_ptr"].dtype == jnp.bfloat16
+    assert out["low_res_masks"].dtype == jnp.float32
+    # mask-prompt path (box-to-mask, add_new_mask)
+    mask_prompt = jnp.zeros((b, 16, 16, 1), jnp.float32)
+    out = model.apply(bf, pix, s0, s1, coords, labels, mask_prompt, False,
+                      method=SAM2Model.sam_heads)
+    assert out["obj_ptr"].dtype == jnp.bfloat16
