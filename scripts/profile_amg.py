@@ -1,118 +1,90 @@
-"""Per-stage AMG profile on the real chip (VERDICT round-1 item 5).
+"""Per-stage AMG profile on the real chip.
 
-Times each stage of the production SAM2AutomaticMaskGenerator path
-separately: image encode, the batched point-grid proposal pass (enqueued
-async, scalars fetched after), the device finalize (upscale + pack + boxes),
-host NMS, and the deferred survivor-mask fetch. Thresholds are 0 so EVERY
-proposal survives — the worst case; real thresholds keep far fewer. Prints
-one JSON line with the breakdown plus an end-to-end generate() timing at
-reference thresholds.
+Times the production single-dispatch AMG path stage by stage: image encode,
+the whole-grid propose/filter/finalize program (one dispatch), and the host
+harvest (scalar fetch + NMS + bucket-padded survivor-mask fetch) — plus the
+end-to-end ``generate()`` and the pipelined ``generate_many`` steady state
+(the number the driver bench reports). Run this to see where
+``amg_s_per_frame`` goes before optimizing.
+
+Usage: PYTHONPATH=/root/.axon_site:/root/repo python scripts/profile_amg.py
+       [--points_per_batch 256] [--frames 4]
 """
 
+import argparse
 import json
 import time
 
 import numpy as np
 
 from sola_tpu.utils import compcache
+
 compcache.enable()
 
 
-def main(points_per_batch: int = 128, frames: int = 4) -> None:
+def main(points_per_batch: int = 256, frames: int = 4) -> None:
     import jax
-    import jax.numpy as jnp
 
-    from sola_tpu.trackgen.sam2.amg import (SAM2AutomaticMaskGenerator,
-                                            build_point_grid, nms)
+    from sola_tpu.trackgen.sam2.amg import SAM2AutomaticMaskGenerator
     from sola_tpu.trackgen.sam2.convert import build_sam2
-    from sola_tpu.trackgen.sam2.image import SAM2ImagePredictor, unpack_masks
+    from sola_tpu.trackgen.sam2.image import SAM2ImagePredictor
 
     model, variables = build_sam2(None)
     pred = SAM2ImagePredictor(model, variables)
-    amg = SAM2AutomaticMaskGenerator(pred, points_per_batch=points_per_batch,
-                                     pred_iou_thresh=0.0,
-                                     stability_score_thresh=0.0)
-    # thresholds 0 => every proposal survives: worst-case load
+    amg = SAM2AutomaticMaskGenerator(pred, points_per_batch=points_per_batch)
 
     rng = np.random.default_rng(0)
     image = rng.integers(0, 255, (480, 854, 3), dtype=np.uint8)
 
-    # warmup / compile everything once
-    amg.generate(image)
+    amg.generate(image)  # compile everything once
 
-    t = {"encode": 0.0, "propose": 0.0, "finalize_nms": 0.0,
-         "fetch_kept": 0.0}
-    n_records = n_kept = 0
+    t = {"encode": 0.0, "propose_filter_finalize": 0.0, "harvest": 0.0}
+    n_records = 0
     for _ in range(frames):
         t0 = time.perf_counter()
         pred.set_image(image)
-        float(pred._feats["pix"].astype(jnp.float32).sum())
+        jax.block_until_ready(pred._feats["pix"])
         t["encode"] += time.perf_counter() - t0
 
-        h, w = image.shape[:2]
-        grid = build_point_grid(amg.points_per_side)
-        coords = grid * np.asarray([w, h], np.float32)
-        bsz = amg.points_per_batch
+        t0 = time.perf_counter()
+        pending = amg._enqueue(image)
+        jax.block_until_ready(pending[5][0])  # packed masks ready
+        t["propose_filter_finalize"] += time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        pending = []
-        for start in range(0, len(coords), bsz):
-            batch = coords[start:start + bsz]
-            if len(batch) < bsz:
-                batch = np.concatenate(
-                    [batch, np.tile(batch[-1:], (bsz - len(batch), 1))], 0)
-            pending.append(pred.propose_device(
-                batch[:, None, :], amg.stability_score_offset))
-        kept_iou, kept_flat = [], []
-        for bi, (ious_dev, stab_dev, _) in enumerate(pending):
-            ious = np.asarray(ious_dev)
-            stab = np.asarray(stab_dev)
-            keep = (ious > amg.pred_iou_thresh) & (
-                stab > amg.stability_score_thresh)
-            idx_n, idx_k = np.nonzero(keep)
-            kept_flat.extend((bi * bsz + idx_n) * ious.shape[1] + idx_k)
-            kept_iou.extend(float(x) for x in ious[idx_n, idx_k])
-        t["propose"] += time.perf_counter() - t0
+        records = amg._harvest(pending)
+        t["harvest"] += time.perf_counter() - t0
+        n_records = len(records)
 
-        t0 = time.perf_counter()
-        k = len(kept_flat)
-        k_pad = ((k + 31) // 32) * 32
-        idx = np.asarray(kept_flat + [kept_flat[0]] * (k_pad - k), np.int32)
-        low_full = jnp.concatenate([p[2] for p in pending], axis=0)
-        lh, lw = low_full.shape[-2:]
-        low_all = low_full.reshape(-1, lh, lw)[jnp.asarray(idx)]
-        packed_dev, boxes, areas = pred.finalize_masks_device(low_all, h, w)
-        boxes, areas = boxes[:k], areas[:k]
-        idxs = np.nonzero(areas > 0)[0]
-        keep_idx = idxs[nms(boxes[idxs], np.asarray(kept_iou)[idxs],
-                            amg.box_nms_thresh)] if len(idxs) else idxs
-        t["finalize_nms"] += time.perf_counter() - t0
-
-        t0 = time.perf_counter()
-        if len(keep_idx):
-            sel = np.asarray(packed_dev[jnp.asarray(keep_idx)])
-            unpack_masks(sel, h, w)
-        t["fetch_kept"] += time.perf_counter() - t0
-        n_records = int(k)
-        n_kept = int(len(keep_idx))
-
-    out = {k2: round(v / frames, 4) for k2, v in t.items()}
-    out["total_s_per_frame"] = round(sum(t.values()) / frames, 4)
-    out["survivors"] = n_records
-    out["nms_kept"] = n_kept
+    out = {k: round(v / frames, 4) for k, v in t.items()}
+    # NOTE: propose_filter_finalize above re-runs set_image inside _enqueue,
+    # so it includes a second encode; enc-corrected figure:
+    out["propose_minus_encode"] = round(
+        out["propose_filter_finalize"] - out["encode"], 4)
+    out["records"] = n_records
     out["points_per_batch"] = points_per_batch
 
-    # end-to-end generate() at REFERENCE thresholds (the production call)
-    amg_real = SAM2AutomaticMaskGenerator(pred,
-                                          points_per_batch=points_per_batch)
-    amg_real.generate(image)  # may hit new shapes -> compile
+    # end-to-end generate() (single-frame latency)
     t0 = time.perf_counter()
-    recs = amg_real.generate(image)
-    out["generate_s_ref_thresholds"] = round(time.perf_counter() - t0, 4)
-    out["records_ref_thresholds"] = len(recs)
+    amg.generate(image)
+    out["generate_s"] = round(time.perf_counter() - t0, 4)
+
+    # pipelined steady state over distinct frames (the driver-bench number)
+    imgs = [rng.integers(0, 255, (480, 854, 3), dtype=np.uint8)
+            for _ in range(frames)]
+    for _ in amg.generate_many(imgs):
+        pass  # warm distinct-shape paths
+    t0 = time.perf_counter()
+    for _ in amg.generate_many(imgs):
+        pass
+    out["generate_many_s_per_frame"] = round(
+        (time.perf_counter() - t0) / len(imgs), 4)
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    import sys
-    main(points_per_batch=int(sys.argv[1]) if len(sys.argv) > 1 else 128)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--points_per_batch", type=int, default=256)
+    ap.add_argument("--frames", type=int, default=4)
+    a = ap.parse_args()
+    main(points_per_batch=a.points_per_batch, frames=a.frames)
