@@ -48,7 +48,7 @@ def main(points_per_batch: int = 256, frames: int = 4) -> None:
 
         t0 = time.perf_counter()
         pending = amg._enqueue(image)
-        jax.block_until_ready(pending[5][0])  # packed masks ready
+        jax.block_until_ready(pending[5][0])  # survivor buffer ready
         t["propose_filter_finalize"] += time.perf_counter() - t0
 
         t0 = time.perf_counter()

@@ -98,11 +98,12 @@ class SAM2AutomaticMaskGenerator:
         the fields the grid-prompt CLI consumes (segmentation,
         stability_score, area; generate_prompts_grid.py:119-128).
 
-        Single-dispatch path: encode (1 program) + whole-grid
-        propose/filter/finalize (1 program, ``propose_filter_finalize``) +
-        one bucket-padded gather for the post-NMS mask fetch. Falls back to
-        the per-batch multi-dispatch path only if the threshold survivors
-        overflow ``max_survivors`` (near-zero thresholds)."""
+        Few-dispatch path: encode (1 program) + whole-grid propose/filter
+        (1 program, ``propose_filter``) + bucket-padded survivor finalize
+        (1 program over O(survivors), not O(buffer)) + one bucket-padded
+        gather for the post-NMS mask fetch. Falls back to the per-batch
+        multi-dispatch path only if the threshold survivors overflow
+        ``max_survivors`` (near-zero thresholds)."""
         return self._harvest(self._enqueue(image))
 
     def generate_many(self, images) -> Iterator[list[dict]]:
@@ -121,23 +122,23 @@ class SAM2AutomaticMaskGenerator:
             yield self._harvest(prev)
 
     def _enqueue(self, image: np.ndarray):
-        """Device phase: encode + whole-grid propose/filter/finalize.
+        """Device phase: encode + whole-grid propose/filter.
         Returns a pending record; nothing is fetched to host."""
         h, w = image.shape[:2]
         self.predictor.set_image(image)
         grid = build_point_grid(self.points_per_side)
         coords = grid * np.asarray([w, h], np.float32)
-        out = self.predictor.propose_filter_finalize(
+        out = self.predictor.propose_filter(
             coords[:, None, :], self.stability_score_offset,
             self.pred_iou_thresh, self.stability_score_thresh,
             chunk=self.points_per_batch, k_max=self.max_survivors)
         return (image, coords, grid, h, w, out)
 
     def _harvest(self, pending) -> list[dict]:
-        """Host phase: fetch the survivor scalars, NMS, emit records."""
+        """Host phase: fetch the survivor count, finalize a bucket-padded
+        prefix of the score-sorted buffer on device, NMS, emit records."""
         image, coords, grid, h, w, out = pending
-        (packed_dev, boxes_all, areas_all, _scores, flat_all, iou_all,
-         stab_all, n_valid_dev) = out
+        (_scores, low_dev, flat_all, iou_all, stab_all, n_valid_dev) = out
         k = int(n_valid_dev)
         if k > self.max_survivors:
             # rare overflow (near-zero thresholds): re-encode this image —
@@ -147,8 +148,15 @@ class SAM2AutomaticMaskGenerator:
             return self._generate_multi_dispatch(image, coords, grid, h, w)
         if k == 0:
             return []
-        boxes = np.asarray(boxes_all)[:k]
-        areas = np.asarray(areas_all)[:k]
+        # the buffer is score-sorted desc, so the k survivors occupy the
+        # leading rows; finalize only the next power-of-two bucket (>=64)
+        # instead of the whole max_survivors buffer (~10x less resize work
+        # at reference thresholds, O(1) distinct program shapes)
+        k_fin = min(low_dev.shape[0], max(64, 1 << (k - 1).bit_length()))
+        packed_dev, boxes_all, areas_all = \
+            self.predictor.finalize_masks_device(low_dev, h, w, k_fin=k_fin)
+        boxes = boxes_all[:k]
+        areas = areas_all[:k]
         kept_iou = [float(x) for x in np.asarray(iou_all)[:k]]
         kept_stab = [float(x) for x in np.asarray(stab_all)[:k]]
         flat = np.asarray(flat_all)[:k]

@@ -141,14 +141,19 @@ class SAM2ImagePredictor:
 
         self._finalize = jax.jit(_finalize, static_argnums=(1, 2))
 
-        def _finalize_packed(low_sel, h, w):
+        def _finalize_packed(low_sel, h, w, k_fin=None):
             """Upscale + threshold + bit-pack on device, with boxes/areas.
 
             The full-res boolean masks are 8x bit-packed before crossing to
             host, and xyxy boxes + areas come from device-side reductions —
             on the AMG path this replaces a (K, H, W) uint8 fetch plus a
             per-mask host np.nonzero loop (the two dominant costs of dense
-            proposal generation once decode is fast)."""
+            proposal generation once decode is fast). ``k_fin`` (static)
+            slices the leading axis inside the program: the AMG survivor
+            buffer is score-sorted, so finalizing a bucket-padded prefix
+            costs O(survivors), not O(buffer)."""
+            if k_fin is not None:
+                low_sel = low_sel[:k_fin]
             k = low_sel.shape[0]
             up = jax.image.resize(low_sel, (k, h, w), method="linear")
             m = up > 0.0                                  # (K, h, w) bool
@@ -170,15 +175,19 @@ class SAM2ImagePredictor:
             return _bitpack_masks(m), boxes, areas
 
         self._finalize_packed = jax.jit(_finalize_packed,
-                                        static_argnums=(1, 2))
+                                        static_argnums=(1, 2, 3))
 
         def _propose_filter_finalize(v, pix, s0, s1, coords, valid,
                                      stability_offset, iou_thresh,
-                                     stab_thresh, h, w, k_max):
-            """Whole-grid AMG in ONE program: scan point chunks through the
-            decoder, keep a bounded top-k_max survivor buffer (score =
-            predicted IoU where both thresholds pass, else -inf), then
-            upscale/threshold/bit-pack only the buffer.
+                                     stab_thresh, k_max):
+            """Whole-grid AMG propose/filter in ONE program: scan point
+            chunks through the decoder and keep a bounded top-k_max survivor
+            buffer (score = predicted IoU where both thresholds pass, else
+            -inf). Finalize (upscale/threshold/bit-pack) is a SEPARATE
+            program dispatched by the caller on a bucket-padded prefix of
+            the score-sorted buffer — at reference thresholds ~100 of the
+            1024 buffer rows survive, so fusing finalize here paid ~10x its
+            useful resize/bit-pack cost every frame.
 
             Replaces the per-point-batch dispatch chain (8 round trips
             through the host relay per frame) with a single dispatch, and
@@ -236,12 +245,10 @@ class SAM2ImagePredictor:
             offsets = jnp.arange(n_chunks, dtype=jnp.int32) * bsz
             (scores, low_k, flat_k, iou_k, stab_k, n_valid), _ = \
                 jax.lax.scan(chunk_step, init, (coords, valid, offsets))
-            packed, boxes, areas = _finalize_packed(low_k, h, w)
-            return (packed, boxes, areas, scores, flat_k, iou_k, stab_k,
-                    n_valid)
+            return (scores, low_k, flat_k, iou_k, stab_k, n_valid)
 
         self._propose_filter_finalize = jax.jit(
-            _propose_filter_finalize, static_argnums=(9, 10, 11))
+            _propose_filter_finalize, static_argnums=(9,))
 
     def set_image(self, image: np.ndarray) -> None:
         """(H, W, 3) uint8."""
@@ -287,16 +294,17 @@ class SAM2ImagePredictor:
             self.compute_variables, f["pix"], f["s0"], f["s1"],
             jnp.asarray(coords), jnp.asarray(labels), stability_offset)
 
-    def propose_filter_finalize(self, point_coords: np.ndarray,
-                                stability_offset: float,
-                                iou_thresh: float, stab_thresh: float,
-                                chunk: int, k_max: int):
-        """Single-dispatch AMG: (N, 1, 2) image-space points -> device
-        (packed masks, boxes, areas, scores, flat idx, ious, stabs, n_valid)
-        for the top-``k_max`` threshold survivors. ``n_valid`` (total
-        survivors) lets the caller detect k_max overflow and fall back."""
+    def propose_filter(self, point_coords: np.ndarray,
+                       stability_offset: float,
+                       iou_thresh: float, stab_thresh: float,
+                       chunk: int, k_max: int):
+        """Single-dispatch AMG propose/filter: (N, 1, 2) image-space points
+        -> DEVICE (scores, low-res logits, flat idx, ious, stabs, n_valid)
+        for the top-``k_max`` threshold survivors, score-sorted desc.
+        ``n_valid`` (total survivors) lets the caller detect k_max overflow
+        and fall back; callers finalize a bucket-padded prefix via
+        ``finalize_masks_device``."""
         assert self._feats is not None, "call set_image first"
-        h, w = self._orig_hw
         coords = self._scale_coords(np.asarray(point_coords, np.float32))
         n = coords.shape[0]
         n_chunks = (n + chunk - 1) // chunk
@@ -310,7 +318,7 @@ class SAM2ImagePredictor:
             self.compute_variables, f["pix"], f["s0"], f["s1"],
             jnp.asarray(coords.reshape(n_chunks, chunk, 1, 2)),
             jnp.asarray(valid.reshape(n_chunks, chunk)),
-            stability_offset, iou_thresh, stab_thresh, h, w, k_max)
+            stability_offset, iou_thresh, stab_thresh, k_max)
 
     def finalize_masks(self, low_sel, h: int, w: int) -> np.ndarray:
         """Upscale selected (K, 4h, 4w) device logits -> host (K, h, w) uint8."""
@@ -324,11 +332,14 @@ class SAM2ImagePredictor:
         return (unpack_masks(np.asarray(packed), h, w),
                 np.asarray(boxes), np.asarray(areas))
 
-    def finalize_masks_device(self, low_sel, h: int, w: int):
+    def finalize_masks_device(self, low_sel, h: int, w: int,
+                              k_fin: Optional[int] = None):
         """Deferred-fetch finalize: returns (packed DEVICE array, host boxes,
         host areas). Callers NMS on the cheap boxes first, then fetch only
-        the kept rows (``packed_dev[idx]`` + unpack_masks)."""
-        packed, boxes, areas = self._finalize_packed(low_sel, h, w)
+        the kept rows (``packed_dev[idx]`` + unpack_masks). ``k_fin``
+        (static) finalizes only the leading k_fin rows — pass a bucket-padded
+        survivor count to avoid upscaling a mostly-padding buffer."""
+        packed, boxes, areas = self._finalize_packed(low_sel, h, w, k_fin)
         return packed, np.asarray(boxes), np.asarray(areas)
 
     def _prep_prompts(self, point_coords, point_labels, box):
