@@ -148,8 +148,22 @@ def bench_train_step(batch: int = 8, n_tracks: int = 64, n_frames: int = 64,
             tstate, parts = train_step(tstate, batch_data, key)
         float(parts["total"])
         best = min(best, time.perf_counter() - t0)
-    return {"selection_train_pairs_per_s":
-            round((n_steps * batch) / best, 2)}
+    pairs_per_s = (n_steps * batch) / best
+    out = {"selection_train_pairs_per_s": round(pairs_per_s, 2)}
+    # analytic MFU from XLA's own flop count for one fwd+bwd+AdamW step
+    # (mirrors the forward section's MFU at bench_selection)
+    try:
+        cost = train_step.lower(tstate, batch_data, key).compile(
+        ).cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            out["selection_train_mfu_v5e"] = round(
+                (flops * pairs_per_s / batch) / V5E_BF16_PEAK_FLOPS, 4)
+    except Exception:
+        pass
+    return out
 
 
 def bench_loader_train(n_videos: int = 48, n_objects: int = 4,
@@ -663,7 +677,8 @@ def _with_timeout(fn, seconds: int):
 
 
 def _probe_backend(budget_s: Optional[int] = None,
-                   attempts: Optional[int] = None) -> Optional[str]:
+                   attempts: Optional[int] = None,
+                   window_s: Optional[int] = None) -> Optional[str]:
     """Fail fast when the device backend is unreachable (the tunneled
     relay can die mid-session; without this every section would burn its
     full timeout before the error surfaced). Probes in a SUBPROCESS —
@@ -672,32 +687,49 @@ def _probe_backend(budget_s: Optional[int] = None,
     matmul compiles in seconds even through the relay.
 
     Retries: a relay that is alive but mid-reconnect can leave one probe
-    hanging (observed: a 90 s probe succeeds minutes before a 300 s one
-    hangs), and a single false negative zeroes the whole bench — so the
-    probe must be at least as patient as the flap it guards against.
-    Tunable via SOLA_PROBE_BUDGET (s per attempt) / SOLA_PROBE_ATTEMPTS."""
+    hanging, and a single false negative zeroes the whole bench — round 3
+    lost its ENTIRE perf record to a relay outage that outlasted 3x300 s
+    of probing. So the probe keeps retrying until a WALL-CLOCK WINDOW
+    expires (default 3600 s, SOLA_PROBE_WINDOW), not a fixed attempt
+    count: a relay that comes back any time inside the window still
+    yields a full record. ``attempts`` (or SOLA_PROBE_ATTEMPTS) caps the
+    attempt count when set — the mid-bench cheap-recheck path uses
+    attempts=1. Per-attempt patience: SOLA_PROBE_BUDGET (default 300 s)."""
     import subprocess
 
     budget_s = budget_s or int(os.environ.get("SOLA_PROBE_BUDGET", "300"))
-    attempts = attempts or int(os.environ.get("SOLA_PROBE_ATTEMPTS", "3"))
+    env_attempts = os.environ.get("SOLA_PROBE_ATTEMPTS")
+    if attempts is None and env_attempts is not None:
+        attempts = int(env_attempts)
+    window_s = window_s if window_s is not None else int(
+        os.environ.get("SOLA_PROBE_WINDOW", "3600"))
     code = ("import jax.numpy as jnp\n"
             "x = jnp.ones((128, 128), jnp.float32)\n"
             "print('probe-ok', float(jnp.sum(x @ x)))\n")
     last = "no probe attempts configured"
-    for attempt in range(max(attempts, 1)):
+    t_start = time.monotonic()
+    attempt = 0
+    while True:
+        attempt += 1
         try:
             proc = subprocess.run([sys.executable, "-c", code],
                                   capture_output=True, text=True,
                                   timeout=budget_s)
         except subprocess.TimeoutExpired:
             last = (f"device probe timed out after {budget_s}s "
-                    f"(attempt {attempt + 1}/{attempts})")
-            continue
-        if proc.returncode == 0 and "probe-ok" in proc.stdout:
-            return None
-        last = (f"device probe failed (attempt {attempt + 1}/{attempts}): "
-                f"{proc.stderr.strip()[-500:]}")
-    return last
+                    f"(attempt {attempt}, "
+                    f"{int(time.monotonic() - t_start)}s elapsed)")
+            proc = None
+        if proc is not None:
+            if proc.returncode == 0 and "probe-ok" in proc.stdout:
+                return None
+            last = (f"device probe failed (attempt {attempt}): "
+                    f"{proc.stderr.strip()[-500:]}")
+        if attempts is not None and attempt >= max(attempts, 1):
+            return last
+        if time.monotonic() - t_start >= window_s:
+            return last
+        time.sleep(min(30, budget_s))  # breathe between attempts
 
 
 # (name, budget_s) in run order. trackgen FIRST: it produces the headline
@@ -754,13 +786,31 @@ def _run_sections_subprocess(only: Optional[set],
 
     metrics: dict = {}
     errors: dict = {}
-    for name, budget in SECTIONS:
-        if not _section_enabled(name, only):
-            continue
+
+    def relay_state(section: str) -> str:
+        """After a section hit a dead backend, classify the outage:
+        'alive' — quick probe passes, so the relay was fine and the
+        section itself was at fault (timeout/flake): keep its error,
+        don't retry. 'recovered' — the quick probe failed but a patient
+        re-probe window succeeded: the outage killed the section, retry
+        it once and keep going (round-3 lesson: never trade the whole
+        record for one outage). 'dead' — still unreachable after the
+        window: record and stop."""
+        if _probe_backend(attempts=1) is None:
+            return "alive"
+        window = int(os.environ.get("SOLA_PROBE_REPROBE_WINDOW", "1800"))
+        return ("recovered" if _probe_backend(window_s=window) is None
+                else "dead")
+
+    queue = [(name, budget, 0) for name, budget in SECTIONS
+             if _section_enabled(name, only)]
+    while queue:
+        name, budget, tries = queue.pop(0)
         env = dict(os.environ, SOLA_BENCH_ONLY=name,
                    # parent already probed with full patience; children
                    # fail fast so a mid-bench relay death is cheap
                    SOLA_PROBE_ATTEMPTS="1")
+        backend_dead = False
         try:
             proc = subprocess.run(
                 cmd or [sys.executable, os.path.abspath(__file__)],
@@ -768,32 +818,37 @@ def _run_sections_subprocess(only: Optional[set],
                 timeout=budget + 180)
         except subprocess.TimeoutExpired:
             errors[name] = f"section killed after {budget + 180}s"
-            if _probe_backend(attempts=1) is not None:
-                errors["backend"] = ("relay died mid-bench; remaining "
-                                     "sections skipped")
+            backend_dead = True  # confirm below; a hang usually IS the relay
+            proc = None
+        if proc is not None:
+            line = next((ln for ln in reversed(proc.stdout.splitlines())
+                         if ln.startswith("{")), None)
+            try:
+                payload = json.loads(line) if line else None
+            except json.JSONDecodeError:
+                payload = None
+            if payload is None:
+                errors[name] = (f"no JSON from section "
+                                f"(rc={proc.returncode}):"
+                                f" {proc.stderr.strip()[-300:]}")
+                continue
+            metrics.update(payload.get("metrics", {}))
+            child_errors = payload.get("errors", {})
+            for key, msg in child_errors.items():
+                errors[key if key != "backend" else name] = msg
+            backend_dead = "backend" in child_errors
+        if backend_dead:
+            state = relay_state(name)
+            if state == "dead":
+                errors["backend"] = ("relay died mid-bench and did not "
+                                     "recover within the re-probe window; "
+                                     "remaining sections skipped")
                 break
-            continue
-        line = next((ln for ln in reversed(proc.stdout.splitlines())
-                     if ln.startswith("{")), None)
-        try:
-            payload = json.loads(line) if line else None
-        except json.JSONDecodeError:
-            payload = None
-        if payload is None:
-            errors[name] = (f"no JSON from section (rc={proc.returncode}):"
-                            f" {proc.stderr.strip()[-300:]}")
-            continue
-        metrics.update(payload.get("metrics", {}))
-        child_errors = payload.get("errors", {})
-        for key, msg in child_errors.items():
-            errors[key if key != "backend" else name] = msg
-        if ("backend" in child_errors
-                and _probe_backend(attempts=1) is not None):
-            # the child saw a dead backend and the parent confirms it:
-            # don't burn a probe budget per remaining section
-            errors["backend"] = ("relay died mid-bench; remaining "
-                                 "sections skipped")
-            break
+            errors.pop("backend", None)
+            if state == "recovered" and tries == 0:
+                # the outage, not the section, was at fault: retry once
+                errors.pop(name, None)
+                queue.insert(0, (name, budget, 1))
     return metrics, errors
 
 

@@ -1,9 +1,10 @@
 """Per-stage AMG profile on the real chip.
 
 Times the production single-dispatch AMG path stage by stage: image encode,
-the whole-grid propose/filter/finalize program (one dispatch), and the host
-harvest (scalar fetch + NMS + bucket-padded survivor-mask fetch) — plus the
-end-to-end ``generate()`` and the pipelined ``generate_many`` steady state
+the whole-grid propose/filter program (one dispatch), the finalize dispatch
+(scalar survivor-count fetch + bucket-padded finalize enqueue), and the host
+finish (boxes/areas fetch + NMS + bucket-padded survivor-mask fetch) — plus
+the end-to-end ``generate()`` and the pipelined ``generate_many`` steady state
 (the number the driver bench reports). Run this to see where
 ``amg_s_per_frame`` goes before optimizing.
 
@@ -38,7 +39,8 @@ def main(points_per_batch: int = 256, frames: int = 4) -> None:
 
     amg.generate(image)  # compile everything once
 
-    t = {"encode": 0.0, "propose_filter_finalize": 0.0, "harvest": 0.0}
+    t = {"encode": 0.0, "propose_filter": 0.0, "finalize_dispatch": 0.0,
+         "finish": 0.0}
     n_records = 0
     for _ in range(frames):
         t0 = time.perf_counter()
@@ -49,18 +51,22 @@ def main(points_per_batch: int = 256, frames: int = 4) -> None:
         t0 = time.perf_counter()
         pending = amg._enqueue(image)
         jax.block_until_ready(pending[5][0])  # survivor buffer ready
-        t["propose_filter_finalize"] += time.perf_counter() - t0
+        t["propose_filter"] += time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        records = amg._harvest(pending)
-        t["harvest"] += time.perf_counter() - t0
+        fin = amg._dispatch_finalize(pending)
+        t["finalize_dispatch"] += time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        records = amg._finish(fin)
+        t["finish"] += time.perf_counter() - t0
         n_records = len(records)
 
     out = {k: round(v / frames, 4) for k, v in t.items()}
-    # NOTE: propose_filter_finalize above re-runs set_image inside _enqueue,
+    # NOTE: propose_filter above re-runs set_image inside _enqueue,
     # so it includes a second encode; enc-corrected figure:
     out["propose_minus_encode"] = round(
-        out["propose_filter_finalize"] - out["encode"], 4)
+        out["propose_filter"] - out["encode"], 4)
     out["records"] = n_records
     out["points_per_batch"] = points_per_batch
 

@@ -104,22 +104,25 @@ class SAM2AutomaticMaskGenerator:
         gather for the post-NMS mask fetch. Falls back to the per-batch
         multi-dispatch path only if the threshold survivors overflow
         ``max_survivors`` (near-zero thresholds)."""
-        return self._harvest(self._enqueue(image))
+        return self._finish(self._dispatch_finalize(self._enqueue(image)))
 
     def generate_many(self, images) -> Iterator[list[dict]]:
-        """Pipelined AMG over a frame sequence: frame k+1's encode +
-        propose programs are enqueued before frame k's results are fetched,
-        so the device computes the next frame while the host runs NMS and
-        pulls survivors for the current one (the per-frame hot loop of
-        generate_prompts_grid.py:96-100)."""
+        """Pipelined AMG over a frame sequence: frame k's finalize program
+        is dispatched (after a scalar n_valid fetch that blocks only on
+        its already-finished propose) BEFORE frame k+1's encode + propose
+        enqueue, then the heavy host work for frame k (boxes/areas fetch,
+        NMS, survivor-mask fetch) runs while the device computes frame
+        k+1 (the per-frame hot loop of generate_prompts_grid.py:96-100).
+        Enqueuing k+1 first would park frame k's fetches behind k+1's
+        whole propose on the in-order stream."""
         prev = None
         for image in images:
-            cur = self._enqueue(image)
-            if prev is not None:
-                yield self._harvest(prev)
-            prev = cur
+            fin = self._dispatch_finalize(prev) if prev is not None else None
+            prev = self._enqueue(image)
+            if fin is not None:
+                yield self._finish(fin)
         if prev is not None:
-            yield self._harvest(prev)
+            yield self._finish(self._dispatch_finalize(prev))
 
     def _enqueue(self, image: np.ndarray):
         """Device phase: encode + whole-grid propose/filter.
@@ -135,8 +138,15 @@ class SAM2AutomaticMaskGenerator:
         return (image, coords, grid, h, w, out)
 
     def _harvest(self, pending) -> list[dict]:
-        """Host phase: fetch the survivor count, finalize a bucket-padded
-        prefix of the score-sorted buffer on device, NMS, emit records."""
+        """Finalize-dispatch + host phase in one call (the non-pipelined
+        path; generate_many interleaves the two halves around the next
+        frame's enqueue)."""
+        return self._finish(self._dispatch_finalize(pending))
+
+    def _dispatch_finalize(self, pending):
+        """Cheap boundary phase: fetch the scalar survivor count (blocks
+        only on the already-enqueued propose program) and DISPATCH the
+        bucket-padded finalize — no heavy host fetch happens here."""
         image, coords, grid, h, w, out = pending
         (_scores, low_dev, flat_all, iou_all, stab_all, n_valid_dev) = out
         k = int(n_valid_dev)
@@ -145,18 +155,30 @@ class SAM2AutomaticMaskGenerator:
             # the predictor's cached features may already be a later
             # frame's in the pipelined path
             self.predictor.set_image(image)
-            return self._generate_multi_dispatch(image, coords, grid, h, w)
+            return ("records",
+                    self._generate_multi_dispatch(image, coords, grid, h, w))
         if k == 0:
-            return []
+            return ("records", [])
         # the buffer is score-sorted desc, so the k survivors occupy the
         # leading rows; finalize only the next power-of-two bucket (>=64)
         # instead of the whole max_survivors buffer (~10x less resize work
         # at reference thresholds, O(1) distinct program shapes)
         k_fin = min(low_dev.shape[0], max(64, 1 << (k - 1).bit_length()))
-        packed_dev, boxes_all, areas_all = \
-            self.predictor.finalize_masks_device(low_dev, h, w, k_fin=k_fin)
-        boxes = boxes_all[:k]
-        areas = areas_all[:k]
+        packed_dev, boxes_dev, areas_dev = \
+            self.predictor.finalize_masks_dispatch(low_dev, h, w, k_fin=k_fin)
+        return ("fin", packed_dev, boxes_dev, areas_dev, k,
+                iou_all, stab_all, flat_all, coords, h, w)
+
+    def _finish(self, fin) -> list[dict]:
+        """Heavy host phase: boxes/areas fetch, NMS, survivor-mask fetch,
+        record emit. In the pipelined path this runs while the device
+        computes the NEXT frame's encode/propose."""
+        if fin[0] == "records":
+            return fin[1]
+        (_, packed_dev, boxes_dev, areas_dev, k,
+         iou_all, stab_all, flat_all, coords, h, w) = fin
+        boxes = np.asarray(boxes_dev)[:k]
+        areas = np.asarray(areas_dev)[:k]
         kept_iou = [float(x) for x in np.asarray(iou_all)[:k]]
         kept_stab = [float(x) for x in np.asarray(stab_all)[:k]]
         flat = np.asarray(flat_all)[:k]

@@ -332,6 +332,16 @@ class SAM2ImagePredictor:
         return (unpack_masks(np.asarray(packed), h, w),
                 np.asarray(boxes), np.asarray(areas))
 
+    def finalize_masks_dispatch(self, low_sel, h: int, w: int,
+                                k_fin: Optional[int] = None):
+        """Dispatch-only finalize: (packed, boxes, areas) as DEVICE arrays,
+        no host fetch. The pipelined AMG path dispatches this for frame k
+        BEFORE enqueuing frame k+1's encode/propose, so the later
+        boxes/areas fetch blocks only on this program — not on the next
+        frame's whole propose (the in-order stream would otherwise
+        serialize the fetch behind it)."""
+        return self._finalize_packed(low_sel, h, w, k_fin)
+
     def finalize_masks_device(self, low_sel, h: int, w: int,
                               k_fin: Optional[int] = None):
         """Deferred-fetch finalize: returns (packed DEVICE array, host boxes,
