@@ -391,7 +391,9 @@ def get_loader_dict(configs: dict, only_eval: bool = False,
         return Loader(
             AlignDataset(c),
             batch_size=batch_size_override or c.get("batch_size", 1),
-            shuffle=(c["data_type"] == "train"),
+            # "shuffle" override: trajectory-parity tests disable it so the
+            # sample order matches the reference's unshuffled iteration
+            shuffle=bool(c.get("shuffle", c["data_type"] == "train")),
             num_workers=c.get("num_workers", 4),
         )
 

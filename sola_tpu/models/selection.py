@@ -74,6 +74,10 @@ class SelectionConfig:
             dropout_p=model_configs.get("dropout_p", 0.2),
             n_groups=model_configs.get("n_groups", 8),
             n_groups_module=model_configs.get("n_groups_module", 8),
+            # upstream hardcodes SDPA dropout 0.1 (tools/attention.py:12);
+            # exposing it lets trajectory-parity runs zero the one RNG
+            # source no reference config can disable
+            attn_dropout_p=model_configs.get("attn_dropout_p", 0.1),
             use_pallas_attention=model_configs.get("use_pallas_attention",
                                                    False),
         )
