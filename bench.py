@@ -789,13 +789,15 @@ def _run_sections_subprocess(only: Optional[set],
 
     def relay_state(section: str) -> str:
         """After a section hit a dead backend, classify the outage:
-        'alive' — quick probe passes, so the relay was fine and the
-        section itself was at fault (timeout/flake): keep its error,
-        don't retry. 'recovered' — the quick probe failed but a patient
-        re-probe window succeeded: the outage killed the section, retry
-        it once and keep going (round-3 lesson: never trade the whole
-        record for one outage). 'dead' — still unreachable after the
-        window: record and stop."""
+        'alive' — quick probe passes: the relay is fine NOW, but the
+        child's own fail-fast probe may have caught a transient flap
+        before the section even ran (observed: a train section lost to
+        one 300 s probe timeout while every other section passed), so
+        the section still deserves one retry. 'recovered' — the quick
+        probe failed but a patient re-probe window succeeded: the outage
+        killed the section, retry it once and keep going (round-3
+        lesson: never trade the whole record for one outage). 'dead' —
+        still unreachable after the window: record and stop."""
         if _probe_backend(attempts=1) is None:
             return "alive"
         window = int(os.environ.get("SOLA_PROBE_REPROBE_WINDOW", "1800"))
@@ -845,8 +847,9 @@ def _run_sections_subprocess(only: Optional[set],
                                      "remaining sections skipped")
                 break
             errors.pop("backend", None)
-            if state == "recovered" and tries == 0:
-                # the outage, not the section, was at fault: retry once
+            if tries == 0:
+                # alive or recovered: a flap, not the section, is the
+                # likelier culprit — retry once before keeping the error
                 errors.pop(name, None)
                 queue.insert(0, (name, budget, 1))
     return metrics, errors
