@@ -133,14 +133,10 @@ def test_full_forward_parity(bundle, rng, padded):
     assert np.abs(ref_boxes).max() > 1e-3
 
 
-def test_idea_key_translation_roundtrip(bundle):
-    """The IDEA->HF key translation feeds the same core converter: fabricate
-    an IDEA-named state dict from the HF one and assert identical params."""
-    hf, model, variables, cfg, _ = bundle
-    from sola_tpu.trackgen.gdino.convert import (hf_gdino_to_params,
-                                                 idea_to_hf_keys)
-
-    hf_state = {k: v for k, v in hf.state_dict().items()}
+def _fabricate_idea_state(hf_state: dict) -> dict:
+    """HF-named state dict -> IDEA-Research-named dict, via a mapping
+    written independently here (not by inverting the library's
+    `_IDEA_RULES`) so a disagreement between the two fails the tests."""
     # build the IDEA-style dict by inverting the documented mapping for a
     # representative subset: fused projections + a few renames
     idea = {}
@@ -347,8 +343,18 @@ def test_idea_key_translation_roundtrip(bundle):
                 r"\.(query|key|value)\.(weight|bias)$", k):
             del idea[k]
     idea.update(fused)
+    return idea
 
-    from sola_tpu.trackgen.gdino.convert import torch_gdino_to_params
+
+def test_idea_key_translation_roundtrip(bundle):
+    """The IDEA->HF key translation feeds the same core converter: fabricate
+    an IDEA-named state dict from the HF one and assert identical params."""
+    hf, model, variables, cfg, _ = bundle
+    from sola_tpu.trackgen.gdino.convert import (hf_gdino_to_params,
+                                                 torch_gdino_to_params)
+
+    hf_state = {k: v for k, v in hf.state_dict().items()}
+    idea = _fabricate_idea_state(hf_state)
     direct = hf_gdino_to_params(hf_state, cfg)
     via_idea = torch_gdino_to_params(idea, cfg)
 
@@ -357,6 +363,52 @@ def test_idea_key_translation_roundtrip(bundle):
     assert len(flat_a) == len(flat_b)
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_idea_pth_checkpoint_end_to_end(bundle, rng, tmp_path):
+    """A synthetic ``groundingdino_swint_ogc.pth``-shaped checkpoint —
+    IDEA-Research naming, DDP ``module.`` prefixes, the ``{"model": ...}``
+    wrapper the reference unpacks via clean_state_dict
+    (prompt_generator.py:46-48) — loaded through the production
+    ``build_gdino_from_checkpoint`` path, then one full forward compared
+    against the HF-named conversion of the same weights. Closes the
+    'IDEA key translation never exercised against a checkpoint file'
+    gap without egress."""
+    import os
+
+    hf, model, variables, cfg, _ = bundle
+    from sola_tpu.trackgen.gdino.convert import build_gdino_from_checkpoint
+    from sola_tpu.trackgen.gdino.model import generate_special_token_masks
+
+    idea = _fabricate_idea_state({k: v for k, v in hf.state_dict().items()})
+    # the real file also carries entries our model has no use for; the
+    # loader must DROP them (clean_state_dict parity), not crash or merge
+    idea["bert.pooler.dense.weight"] = torch.zeros(4, 4)
+    idea["label_enc.weight"] = torch.zeros(4, 4)
+    ckpt = {"model": {f"module.{k}": torch.as_tensor(np.asarray(v))
+                      for k, v in idea.items()}}
+    path = os.path.join(str(tmp_path), "gdino_idea_synthetic.pth")
+    torch.save(ckpt, path)
+
+    loaded_model, loaded_vars, report = build_gdino_from_checkpoint(
+        path, cfg=cfg)
+    assert report["coverage"] >= 0.99, report
+    assert not report["missing"], report["missing"][:10]
+
+    img = rng.standard_normal((1, 3, 128, 128)).astype(np.float32)
+    pmask = np.ones((1, 128, 128), bool)
+    ids, tmask = _text_inputs(rng)
+    smask, pids = generate_special_token_masks(ids)
+    args = (jnp.asarray(img.transpose(0, 2, 3, 1)), jnp.asarray(pmask),
+            jnp.asarray(ids.astype(np.int32)),
+            jnp.asarray(tmask.astype(np.int32)),
+            jnp.asarray(smask), jnp.asarray(pids))
+    got = loaded_model.apply(loaded_vars, *args)
+    want = model.apply(variables, *args)
+    np.testing.assert_array_equal(np.asarray(got["pred_boxes"]),
+                                  np.asarray(want["pred_boxes"]))
+    np.testing.assert_array_equal(np.asarray(got["pred_logits"]),
+                                  np.asarray(want["pred_logits"]))
 
 
 def test_bf16_forward_tracks_fp32(bundle, rng):
