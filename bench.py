@@ -510,53 +510,138 @@ def bench_packed(n_frames: int = 32, repeats: int = 3) -> dict:
                 pred.get_small_masklets(st)  # device-side assembly
         return time.perf_counter() - t0
 
-    def paired_slope(fn_full, fn_half, d_steps, full_steps):
-        best = float("inf")
-        for _ in range(repeats):
-            t_full = fn_full()
-            t_half = fn_half()
-            naive = t_full / full_steps
-            s = (t_full - t_half) / d_steps
-            if not (0.05 * naive < s <= naive):
-                s = naive  # degenerate pairing under link/host bursts
-            best = min(best, s)
-        return best
-
     full_steps, half_steps = n_frames - 1, n_frames // 2 - 1
     d = full_steps - half_steps
-    run_packed(n_frames)           # warm/compile (full + half schedules)
+
+    def slope_of(t_full, t_half, d_steps, fsteps):
+        naive = t_full / fsteps
+        s = (t_full - t_half) / d_steps
+        if not (0.05 * naive < s <= naive):
+            s = naive  # degenerate pairing under link/host bursts
+        return s
+
+    def measure(packed_kw, seq_mode):
+        """One repeat = all four timed runs back-to-back (packed full/half,
+        seq full/half) so the packed-vs-seq RATIO shares one link phase;
+        cross-phase drift once flipped the headline to 0.93x while the
+        compute ratio said 1.99x. Returns per-variant slopes + the ratio;
+        the caller medians the ratio over repeats."""
+        sp = slope_of(run_packed(n_frames, **packed_kw),
+                      run_packed(n_frames // 2, **packed_kw), d, full_steps)
+        ss = slope_of(run_seq(states, seq_mode), run_seq(halves, seq_mode),
+                      2 * d, 2 * full_steps)
+        return sp, ss, (8.0 / sp) / (4.0 / ss)
+
+    # warm/compile every schedule (full + half, both modes)
+    run_packed(n_frames)
     run_packed(n_frames // 2)
     run_seq(states)
     run_seq(halves)
-    slope_packed = paired_slope(lambda: run_packed(n_frames),
-                                lambda: run_packed(n_frames // 2),
-                                d, full_steps)
-    # sequential: one timed run covers BOTH videos (2 passes) -> the
-    # per-frame-step slope is t / (2 * steps)
-    slope_seq = paired_slope(lambda: run_seq(states),
-                             lambda: run_seq(halves),
-                             2 * d, 2 * full_steps)
-    # scan-only slopes: no output fetch — the compute-level utilization
-    # win (the masks-mode packed slope carries 2x the per-step fetch
-    # bytes over this sandbox's ~10 MB/s link; real hosts feed via PCIe)
     run_packed(n_frames, collect=False)
     run_packed(n_frames // 2, collect=False)
     run_seq(states, "none")
     run_seq(halves, "none")
-    slope_packed_scan = paired_slope(
-        lambda: run_packed(n_frames, collect=False),
-        lambda: run_packed(n_frames // 2, collect=False), d, full_steps)
-    slope_seq_scan = paired_slope(lambda: run_seq(states, "none"),
-                                  lambda: run_seq(halves, "none"),
-                                  2 * d, 2 * full_steps)
+
+    masks_runs = [measure({}, "masks") for _ in range(repeats)]
+    # scan-only: no output fetch — the compute-level utilization win (the
+    # masks-mode packed slope carries 2x the per-step fetch bytes over
+    # this sandbox's ~10 MB/s link; real hosts feed via PCIe)
+    scan_runs = [measure({"collect": False}, "none")
+                 for _ in range(repeats)]
+
+    def median(xs):
+        xs = sorted(xs)
+        return xs[len(xs) // 2]
+
+    slope_packed = min(r[0] for r in masks_runs)
+    slope_seq = min(r[1] for r in masks_runs)
     return {
         "sam2_seq_object_fps_ref_batching": round(4.0 / slope_seq, 2),
         "sam2_packed_object_fps": round(8.0 / slope_packed, 2),
         "sam2_packed_speedup": round(
-            (8.0 / slope_packed) / (4.0 / slope_seq), 2),
+            median([r[2] for r in masks_runs]), 2),
         "sam2_packed_scan_speedup": round(
-            (8.0 / slope_packed_scan) / (4.0 / slope_seq_scan), 2),
+            median([r[2] for r in scan_runs]), 2),
     }
+
+
+def bench_longvideo(n_frames: int = 256, obj_batch: int = 8,
+                    size: str = "large") -> dict:
+    """Long-video propagation datapoint: one full T=256 pass, with and
+    without memory_stride (SURVEY §5 long-context), plus the number of XLA
+    compile events the pass triggers.
+
+    The reference's >200-frame branch only reduces prompt batching to 2
+    to fit GPU memory (generate_tokens_grid.py:181-186); here the memory
+    bank is a fixed-size ring and passes are scan-chunked (scan_chunk=16
+    compiled segments), so a 256-frame pass reuses the 32-frame bench's
+    programs — the compile-event count asserts that claim on chip.
+    memory_stride=4 admits every 4th frame into the non-conditioning
+    ring: same bank shapes (zero recompiles), fresher long-horizon
+    memory, identical per-frame compute."""
+    import dataclasses as _dc
+    import logging
+
+    import jax
+    import jax.numpy as jnp
+
+    from sola_tpu.trackgen.sam2.convert import build_sam2, sam2_config_for
+    from sola_tpu.trackgen.sam2.video import SAM2VideoPredictor
+
+    compile_events = {"n": 0}
+
+    class _CompileCounter(logging.Handler):
+        def emit(self, record):
+            if "Compiling" in record.getMessage():
+                compile_events["n"] += 1
+
+    counter = _CompileCounter(level=logging.DEBUG)
+    jax_logger = logging.getLogger("jax")
+    jax_logger.addHandler(counter)
+
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 255, (480, 854, 3), dtype=np.uint8)
+              for _ in range(n_frames)]
+    mask = np.zeros((480, 854), np.float32)
+    mask[100:220, 200:400] = 1.0
+
+    def one_pass(pred, state, output_mode):
+        pred.reset_state(state)
+        pred.add_new_mask(state, 0, 0, mask)
+        t0 = time.perf_counter()
+        for _ in pred.propagate_in_video(state, output_mode=output_mode):
+            pass
+        if output_mode == "none":
+            float(jnp.sum(state.banks[2].astype(jnp.float32)))
+        return time.perf_counter() - t0
+
+    out = {"longvideo_frames": n_frames}
+    try:
+        with jax.log_compiles():
+            for stride in (1, 4):
+                cfg = _dc.replace(sam2_config_for(size),
+                                  memory_stride=stride)
+                model, variables = build_sam2(None, cfg=cfg)
+                pred = SAM2VideoPredictor(model, variables,
+                                          obj_batch=obj_batch)
+                state = pred.init_state(frames)
+                one_pass(pred, state, "none")  # compile + warm
+                compiles_before = compile_events["n"]
+                t = min(one_pass(pred, state, "none") for _ in range(2))
+                key = ("longvideo_object_fps" if stride == 1 else
+                       f"longvideo_object_fps_stride{stride}")
+                out[key] = round(obj_batch * (n_frames - 1) / t, 2)
+                out[f"longvideo_warm_compiles_stride{stride}"] = (
+                    compile_events["n"] - compiles_before)
+                if stride == 1:
+                    # link-inclusive number: masks fetched per chunk
+                    t_m = one_pass(pred, state, "masks")
+                    out["longvideo_object_fps_with_fetch"] = round(
+                        obj_batch * (n_frames - 1) / t_m, 2)
+            out["longvideo_compile_events_total"] = compile_events["n"]
+    finally:
+        jax_logger.removeHandler(counter)
+    return out
 
 
 def bench_gdino(n_images: int = 3) -> dict:
@@ -739,7 +824,7 @@ def _probe_backend(budget_s: Optional[int] = None,
 # = one worst-case compile + the measured section.
 SECTIONS = [("trackgen", 4500), ("selection", 1200), ("train", 1200),
             ("loader", 1500), ("roberta", 900), ("gdino", 2400),
-            ("packed", 1500)]
+            ("packed", 1500), ("longvideo", 2400)]
 
 
 def _section_enabled(name: str, only: Optional[set]) -> bool:
@@ -749,6 +834,8 @@ def _section_enabled(name: str, only: Optional[set]) -> bool:
         return os.environ.get("SOLA_BENCH_SKIP_TRACKGEN") != "1"
     if name == "packed":
         return os.environ.get("SOLA_BENCH_SKIP_PACKED") != "1"
+    if name == "longvideo":
+        return os.environ.get("SOLA_BENCH_SKIP_LONGVIDEO") != "1"
     return True
 
 
@@ -761,7 +848,10 @@ def _run_sections_inprocess(only: Optional[set]) -> tuple:
                n_frames=int(os.environ.get("SOLA_BENCH_FRAMES", "32"))),
            "selection": bench_selection, "train": bench_train_step,
            "loader": bench_loader_train, "roberta": bench_roberta,
-           "gdino": bench_gdino, "packed": bench_packed}
+           "gdino": bench_gdino, "packed": bench_packed,
+           "longvideo": lambda: bench_longvideo(
+               n_frames=int(os.environ.get("SOLA_BENCH_LONGVIDEO_FRAMES",
+                                           "256")))}
     for name, budget in SECTIONS:
         if not _section_enabled(name, only):
             continue
