@@ -59,7 +59,7 @@ def build_corpus(root: str, n_videos: int) -> dict:
 
 
 def write_yaml(path: str, ds: dict, out_root: str, epochs: int,
-               batch_size: int = 1) -> None:
+               batch_size: int = 1, model_overrides: dict = None) -> None:
     configs = {
         "exp_name": "quality_run",
         "model": {
@@ -68,6 +68,7 @@ def write_yaml(path: str, ds: dict, out_root: str, epochs: int,
             "object_token_dim": 256, "lang_token_dim": 1024, "n_layers": 2,
             "max_temporal_length": 100, "n_negative": 32, "dropout_p": 0.2,
             "norm_type": "group", "n_groups": 8, "n_groups_module": 8,
+            **(model_overrides or {}),
         },
         "train": {
             "n_epochs": epochs, "pred_threshold": 0.5, "temperature": 0.07,
@@ -108,12 +109,18 @@ def main() -> int:
                                                   "quality_run"))
     ap.add_argument("--eval_epochs", default="1,8,15")
     ap.add_argument("--batch_size", type=int, default=1)
+    ap.add_argument("--text_encoder", default=None,
+                    help="e.g. roberta_random: the REAL 24-layer Flax "
+                         "RoBERTa (random init) in-loop instead of the "
+                         "hash stand-in")
     args = ap.parse_args()
 
     work = tempfile.mkdtemp(prefix="quality_run_")
     ds = build_corpus(work, args.n_videos)
     yaml_path = os.path.join(work, "quality_run.yaml")
-    write_yaml(yaml_path, ds, work, args.epochs, args.batch_size)
+    write_yaml(yaml_path, ds, work, args.epochs, args.batch_size,
+               model_overrides=({"text_encoder": args.text_encoder}
+                                if args.text_encoder else None))
     train_dir = os.path.join(work, "TRAIN", "quality_run", "mevis")
 
     # phase 1: train until the kill checkpoint exists, then SIGKILL

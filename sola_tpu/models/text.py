@@ -365,10 +365,18 @@ def build_text_encoder(model_configs: dict) -> "TextEncoder | HashTextEncoder":
     Honors ``roberta_version`` (configs/mevis/default.yaml:13) when the HF
     checkpoint + tokenizer are available locally; otherwise falls back to the
     deterministic hash encoder so air-gapped runs still work end-to-end.
+
+    ``text_encoder: roberta_random`` forces the REAL 24-layer Flax RoBERTa
+    (random init, hash tokenizer): the full text-encode compute runs
+    in-loop even with no checkpoint on disk — the e2e configuration the
+    quality pipeline uses to exercise full-size text encode
+    (train.py:31-32,80-91 keeps RoBERTa in the loop at every step).
     """
     version = model_configs.get("roberta_version",
                                 "sentence-transformers/all-roberta-large-v1")
     lang_dim = model_configs.get("lang_token_dim", 1024)
+    if model_configs.get("text_encoder") == "roberta_random":
+        return TextEncoder.random_init(RobertaConfig.large())
     try:
         import os
 

@@ -107,3 +107,13 @@ def test_caching_text_encoder():
     assert len(calls) == 2
     np.testing.assert_array_equal(np.asarray(a1[0]), np.asarray(a2[0]))
     np.testing.assert_array_equal(np.asarray(a1[2]), np.asarray(a2[2]))
+
+
+def test_build_text_encoder_roberta_random_knob():
+    """``model.text_encoder: roberta_random`` must yield the REAL Flax
+    RoBERTa stack (not the hash stand-in) with the full-size large config,
+    so e2e runs exercise full-size text encode without a checkpoint."""
+    enc = T.build_text_encoder({"lang_token_dim": 1024,
+                                "text_encoder": "roberta_random"})
+    assert isinstance(enc, T.TextEncoder)
+    assert enc.cfg.num_layers == 24 and enc.cfg.hidden_size == 1024
