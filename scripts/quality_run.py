@@ -203,8 +203,10 @@ def main() -> int:
                   "makes this bit-equal to uninterrupted — "
                   "tests/test_resume.py::test_resume_equivalence)",
         "train_wall_s": round(train_wall, 1),
+        "train_pairs_per_s": round(n_pairs * args.epochs / train_wall, 2),
         "jf_by_epoch": jf_by_epoch,
         "backend": os.environ.get("JAX_PLATFORMS", "axon-tpu (default)"),
+        "text_encoder": args.text_encoder or "hash (no local weights)",
     }
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
