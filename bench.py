@@ -618,13 +618,22 @@ def bench_longvideo(n_frames: int = 256, obj_batch: int = 8,
     out = {"longvideo_frames": n_frames}
     try:
         with jax.log_compiles():
-            for stride in (1, 4):
-                cfg = _dc.replace(sam2_config_for(size),
-                                  memory_stride=stride)
-                model, variables = build_sam2(None, cfg=cfg)
-                pred = SAM2VideoPredictor(model, variables,
-                                          obj_batch=obj_batch)
-                state = pred.init_state(frames)
+            # one model build + ONE frame upload/encode: params and encoded
+            # features are stride-independent (memory_stride only gates
+            # which frames enter the memory ring during propagation), and
+            # the 256-frame upload dominates this section's wall clock on
+            # the tunneled link
+            from sola_tpu.trackgen.sam2.model import SAM2Model
+
+            model, variables = build_sam2(None, cfg=sam2_config_for(size))
+            pred1 = SAM2VideoPredictor(model, variables,
+                                       obj_batch=obj_batch)
+            state = pred1.init_state(frames)
+            model4 = SAM2Model(_dc.replace(sam2_config_for(size),
+                                           memory_stride=4))
+            pred4 = SAM2VideoPredictor(model4, variables,
+                                       obj_batch=obj_batch)
+            for stride, pred in ((1, pred1), (4, pred4)):
                 one_pass(pred, state, "none")  # compile + warm
                 compiles_before = compile_events["n"]
                 t = min(one_pass(pred, state, "none") for _ in range(2))
@@ -638,7 +647,6 @@ def bench_longvideo(n_frames: int = 256, obj_batch: int = 8,
                     t_m = one_pass(pred, state, "masks")
                     out["longvideo_object_fps_with_fetch"] = round(
                         obj_batch * (n_frames - 1) / t_m, 2)
-            out["longvideo_compile_events_total"] = compile_events["n"]
     finally:
         jax_logger.removeHandler(counter)
     return out
@@ -824,7 +832,7 @@ def _probe_backend(budget_s: Optional[int] = None,
 # = one worst-case compile + the measured section.
 SECTIONS = [("trackgen", 4500), ("selection", 1200), ("train", 1200),
             ("loader", 1500), ("roberta", 900), ("gdino", 2400),
-            ("packed", 1500), ("longvideo", 2400)]
+            ("packed", 1500), ("longvideo", 3600)]
 
 
 def _section_enabled(name: str, only: Optional[set]) -> bool:
