@@ -10,11 +10,18 @@ the surrounding einsums.
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+# Below this query count the tile-sparse Pallas core's per-tile overhead
+# beats nothing worth beating: the decoder's 900-query cross-attention is
+# <5% of the forward (scripts/profile_gdino.py), while the 21760-query
+# encoder self-attention is ~95% — only the latter routes to the kernel.
+_PALLAS_MIN_QUERIES = 4096
 
 
 def bilinear_sample(value: jax.Array, loc_xy: jax.Array) -> jax.Array:
@@ -83,6 +90,27 @@ def ms_deform_attn_core(value_levels: Sequence[jax.Array],
     return out.reshape(b, lq, n_heads * head_dim)
 
 
+def ms_deform_attn_core_auto(value_levels: Sequence[jax.Array],
+                             sampling_locations: jax.Array,
+                             attention_weights: jax.Array) -> jax.Array:
+    """Backend-dispatched core: the tile-sparse Pallas interpolation-matmul
+    kernel (ops/deformable_interp.py; 2.7x the gather core at production
+    encoder shapes on v5e) on TPU for large query counts, the XLA gather
+    form elsewhere. ``SOLA_DEFORMABLE_CORE=pallas|gather`` forces a path
+    (tests use ``pallas`` with interpret mode on CPU)."""
+    mode = os.environ.get("SOLA_DEFORMABLE_CORE", "auto")
+    lq = sampling_locations.shape[1]
+    use_pallas = mode == "pallas" or (
+        mode == "auto" and jax.default_backend() == "tpu"
+        and lq >= _PALLAS_MIN_QUERIES)
+    if use_pallas:
+        from sola_tpu.ops.deformable_interp import ms_deform_attn_core_pallas
+        return ms_deform_attn_core_pallas(
+            list(value_levels), sampling_locations, attention_weights)
+    return ms_deform_attn_core(value_levels, sampling_locations,
+                               attention_weights)
+
+
 class MSDeformAttn(nn.Module):
     """Deformable attention module (offsets + weights + projections).
 
@@ -139,5 +167,5 @@ class MSDeformAttn(nn.Module):
             wh = reference_points[..., 2:]
             loc = (center[:, :, None, :, None, :]
                    + offsets / np_ * wh[:, :, None, :, None, :] * 0.5)
-        out = ms_deform_attn_core(values, loc, weights)
+        out = ms_deform_attn_core_auto(values, loc, weights)
         return nn.Dense(d, name="output_proj")(out)

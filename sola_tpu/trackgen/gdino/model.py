@@ -19,7 +19,9 @@ tests/test_gdino_hf_parity.py. Structure:
 
 TPU-first notes: all shapes are static — images ride on a fixed padded
 canvas with a pixel mask (upstream's own batched-padding semantics), the
-deformable core is the XLA gather kernel in deformable.py, and the whole
+deformable core is backend-dispatched in deformable.py (the tile-sparse
+Pallas interpolation-matmul kernel of ops/deformable_interp.py on TPU for
+the encoder's 21760 queries, the XLA gather form elsewhere), and the whole
 forward is one jit program.
 """
 
