@@ -25,13 +25,21 @@ from sola_tpu.utils import compcache
 compcache.enable()
 
 
+def _sync(out):
+    # value fetch, not block_until_ready: through the tunneled relay the
+    # ready-ack can arrive before execution completes (see bench.py) —
+    # summing to a scalar and fetching it forces real completion
+    leaves = jax.tree_util.tree_leaves(out)
+    float(jnp.sum(leaves[-1].astype(jnp.float32)))
+
+
 def _time(fn, *args, warmup=2, reps=5):
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 
