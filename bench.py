@@ -15,7 +15,19 @@ one video per GPU process, runtime_info fps at generate_tokens_gdino.py:329).
 Knobs: SOLA_BENCH_FRAMES (default 32), SOLA_BENCH_SKIP_TRACKGEN=1 to skip
 the SAM2 stage (slow first compile through this sandbox's remote relay),
 SOLA_BENCH_ONLY=sec1,sec2 to run selected sections only
-(selection/train/loader/roberta/gdino/trackgen).
+(selection/train/loader/roberta/gdino/trackgen/e2e/packed/longvideo).
+
+Un-losable under external timeouts (round-4 lesson: the driver's watchdog
+killed the run and the official record got NOTHING, BENCH_r04.json):
+  - a full cumulative record line (same JSON schema, flushed) prints after
+    EVERY completed section, so the newest complete record is always the
+    last JSON line on stdout no matter when the process dies;
+  - sections emit partial {"metrics": ...} lines as sub-results land, and
+    the parent salvages the last JSON line from a child it had to kill;
+  - the whole run plans inside SOLA_BENCH_TOTAL_BUDGET seconds (default
+    2400): headline `trackgen` first with a hard slice, then the cheap
+    sections, then optional ones — anything that no longer fits is skipped
+    and recorded as skipped, never silently lost.
 """
 
 import json
@@ -31,6 +43,19 @@ compcache.enable()
 
 V5E_BF16_PEAK_FLOPS = 197e12
 A100_PROPAGATION_OBJECT_FPS = 17.5  # upstream SAM2-L, 1 object, 15-20 fps
+# SAM/SAM2 automatic mask generation (32x32 point grid + per-mask post)
+# is commonly reported around ~1 s/frame on A100-class GPUs; used only to
+# COMPOSE the e2e baseline below (no published e2e number exists,
+# BASELINE.md "publishes no benchmark numbers").
+A100_AMG_S_PER_FRAME = 1.0
+
+
+def _partial(metrics: dict) -> None:
+    """Emit an in-section partial-metrics line. If an external watchdog
+    kills this process (or the parent driver kills this child on budget),
+    the last such line is salvaged into the record — a section that dies
+    80% done no longer reports nothing."""
+    print(json.dumps({"metrics": metrics}), flush=True)
 
 
 def bench_selection(n_pairs: int = 512, batch: int = 8, n_tracks: int = 64,
@@ -385,6 +410,8 @@ def bench_trackgen(n_frames: int, obj_batch: int = 8) -> dict:
                 best_fixed = max(t_half - slope * (n_half - 1), 0.0)
         return best_slope, best_fixed
 
+    _partial({"sam2_encode_fps": round(n_frames / t_encode, 2),
+              "sam2_encode_compute_fps": round(n_enc / t_enc_compute, 2)})
     run_pass(state)        # warmup/compile (full)
     run_pass(state_half)   # warmup/compile (half buckets)
     slope, fixed = paired_slope()
@@ -409,6 +436,7 @@ def bench_trackgen(n_frames: int, obj_batch: int = 8) -> dict:
         "sam2_obj_batch": obj_batch,
         "sam2_frames": n_frames,
     }
+    _partial(out)
 
     # grid-prompt proposal stage (generate_prompts_grid.py:100): AMG over the
     # 32x32 grid with reference thresholds, steady-state seconds per frame
@@ -549,19 +577,24 @@ def bench_packed(n_frames: int = 32, repeats: int = 3) -> dict:
     scan_runs = [measure({"collect": False}, "none")
                  for _ in range(repeats)]
 
-    def median(xs):
-        xs = sorted(xs)
-        return xs[len(xs) // 2]
+    def median_run(runs):
+        # the repeat whose RATIO is the median; its fps pair is reported
+        # so fps_packed / fps_seq == speedup inside one record (the old
+        # min-slope-per-variant fps could disagree with the median ratio)
+        runs = sorted(runs, key=lambda r: r[2])
+        return runs[len(runs) // 2]
 
-    slope_packed = min(r[0] for r in masks_runs)
-    slope_seq = min(r[1] for r in masks_runs)
+    sp, ss, ratio = median_run(masks_runs)
+    _, _, scan_ratio = median_run(scan_runs)
     return {
-        "sam2_seq_object_fps_ref_batching": round(4.0 / slope_seq, 2),
-        "sam2_packed_object_fps": round(8.0 / slope_packed, 2),
-        "sam2_packed_speedup": round(
-            median([r[2] for r in masks_runs]), 2),
-        "sam2_packed_scan_speedup": round(
-            median([r[2] for r in scan_runs]), 2),
+        "sam2_seq_object_fps_ref_batching": round(4.0 / ss, 2),
+        "sam2_packed_object_fps": round(8.0 / sp, 2),
+        # engine-level (mask fetch included): LINK-BOUND in this sandbox —
+        # packed fetches 2x the bytes per step over a ~10 MB/s tunnel, so
+        # this floats with link phase; scan_speedup is the compute-level
+        # utilization win and the headline packing metric (STATUS r4 #4)
+        "sam2_packed_speedup_linkbound": round(ratio, 2),
+        "sam2_packed_scan_speedup": round(scan_ratio, 2),
     }
 
 
@@ -642,6 +675,7 @@ def bench_longvideo(n_frames: int = 256, obj_batch: int = 8,
                 out[key] = round(obj_batch * (n_frames - 1) / t, 2)
                 out[f"longvideo_warm_compiles_stride{stride}"] = (
                     compile_events["n"] - compiles_before)
+                _partial(out)
                 if stride == 1:
                     # link-inclusive number: masks fetched per chunk
                     t_m = one_pass(pred, state, "masks")
@@ -650,6 +684,175 @@ def bench_longvideo(n_frames: int = 256, obj_batch: int = 8,
     finally:
         jax_logger.removeHandler(counter)
     return out
+
+
+def bench_e2e(n_frames: int = 32, n_prompts: int = 12,
+              repeats: int = 2, size: Optional[str] = None,
+              hw: tuple = (480, 854), points_per_side: int = 32) -> dict:
+    """End-to-end track-generation + selection throughput, in videos/sec —
+    BASELINE.md's target definition ("≥5x A100 end-to-end track-generation
+    + selection throughput (videos/sec)"). One synthetic video runs the
+    whole production pipeline inside a single timed window:
+
+      1. AMG grid prompts over binned frames (bin_size 4, reference
+         generate_prompts_grid.py:80-100 semantics);
+      2. frame upload + encode + bidirectional SAM2 propagation + token
+         harvest + dedup via trackgen.engine.generate_tracks (the
+         generate_tokens_grid.py loop);
+      3. selection forward (full 1024-d/2-layer model) + merged-masklet
+         J&F against GT (evaluator.py:227-247 semantics, on device).
+
+    Workload pinning: weights are random (zero egress), so AMG's mask
+    CONTENT is meaningless — AMG runs for its real compute cost, then the
+    prompt list is replaced by ``n_prompts`` fixed rectangles at frame 0
+    (12 prompts -> one 8-object pass + one 4-object pass at the 8-slot
+    program; the reference needs three 4-object passes). Dedup IoU
+    programs run but never filter (miou_thresh pinned > 1), and the
+    selection stage always merges the top-2 scoring tracks, so the timed
+    work is deterministic run to run.
+
+    Composed A100 baseline (the reference publishes no e2e number,
+    BASELINE.md): AMG ~1.0 s/frame + propagation at 17.5 object-frames/s
+    (2 * T * n_tracks object-frames per video, batching-independent);
+    reference selection+eval (~0.1 s/video on GPU) is charged at zero —
+    a conservative baseline.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from sola_tpu.models.selection import SelectionConfig, SelectionModel
+    from sola_tpu.models.text import HashTextEncoder
+    from sola_tpu.trackgen import engine
+    from sola_tpu.trackgen.sam2.amg import SAM2AutomaticMaskGenerator
+    from sola_tpu.trackgen.sam2.convert import build_sam2
+    from sola_tpu.trackgen.sam2.image import SAM2ImagePredictor
+    from sola_tpu.trackgen.sam2.video import SAM2VideoPredictor
+
+    H, W = hw
+    bin_size = 4
+    # deterministic scene: moving rectangles on a flat background
+    frames = []
+    for t in range(n_frames):
+        f = np.full((H, W, 3), 30, np.uint8)
+        for k in range(6):
+            y = (40 + 37 * k + 3 * t) % max(H - 120, 1)
+            x = (60 + 131 * k + 5 * t) % max(W - 180, 1)
+            f[y:y + 100, x:x + 150] = (40 * (k + 1)) % 226 + 20
+        frames.append(f)
+
+    if size == "tiny_test":  # CPU smoke path (tests)
+        from sola_tpu.trackgen.sam2.model import SAM2Config
+        model, variables = build_sam2(None, cfg=SAM2Config.tiny_test())
+    else:
+        model, variables = build_sam2(None)
+    pred = SAM2VideoPredictor(model, variables, obj_batch=8)
+    amg = SAM2AutomaticMaskGenerator(SAM2ImagePredictor(model, variables),
+                                     points_per_side=points_per_side,
+                                     points_per_batch=256)
+
+    scfg = SelectionConfig()
+    sel_model = SelectionModel(scfg)
+    n_track_pad = 16
+    key = jax.random.PRNGKey(0)
+    text_enc = HashTextEncoder(scfg.lang_token_dim)
+    hidden, hmask, _ = text_enc.encode_batch(
+        ["the red object moving right."])
+    lang_b = jnp.asarray(hidden)               # (1, L, lang_dim)
+    lang_mask = jnp.asarray(hmask, bool)       # (1, L)
+    sel_vars = sel_model.init(
+        key, jnp.zeros((1, n_track_pad, n_frames, scfg.object_token_dim)),
+        lang_b)
+
+    @jax.jit
+    def sel_fwd(v, obj, lng, track_mask):
+        score_map, _ = sel_model.apply(
+            v, obj, lng, track_mask=track_mask,
+            frame_lengths=jnp.full((1,), n_frames, jnp.int32),
+            lang_mask=lang_mask)
+        return score_map
+
+    W_pad = ((W + 7) // 8) * 8
+
+    @jax.jit
+    def jf_packed(pred_packed, gt_packed):
+        shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+        def unpack(p):
+            bits = (p[..., None] >> shifts) & 1
+            return bits.reshape(p.shape[0], H, W_pad)
+        from sola_tpu.core import mask_ops
+        return mask_ops.compute_JF(unpack(pred_packed), unpack(gt_packed))
+
+    # pinned prompt workload + GT (content deterministic; see docstring)
+    prompt_masks = []
+    for i in range(n_prompts):
+        m = np.zeros((H, W), np.uint8)
+        y = 30 + (i * 83) % max(H - 140, 1)
+        x = 40 + (i * 197) % max(W - 220, 1)
+        m[y:y + 100, x:x + 160] = 1
+        prompt_masks.append(m)
+    gt = np.broadcast_to(np.maximum(prompt_masks[0], prompt_masks[1]),
+                         (n_frames, H, W))
+
+    def pack(masklet):
+        padded = np.zeros((masklet.shape[0], H, W_pad), np.uint8)
+        padded[:, :, :W] = masklet
+        return np.packbits(padded.reshape(masklet.shape[0], -1),
+                           axis=-1).reshape(masklet.shape[0], H, W_pad // 8)
+
+    def one_video() -> dict:
+        t0 = time.perf_counter()
+        # stage 1: grid prompts (AMG on every bin_size-th frame)
+        sel_frames = list(range(0, n_frames, bin_size))
+        for _ in amg.generate_many(frames[fi] for fi in sel_frames):
+            pass
+        t1 = time.perf_counter()
+        # stage 2: upload + encode + propagate + tokens + dedup
+        state = pred.init_state(frames)
+        prompts = [engine.PromptMask(prompt_id=i, frame_idx=0,
+                                     segmentation=m)
+                   for i, m in enumerate(prompt_masks)]
+        results: list = []
+        engine.generate_tracks(
+            pred, state, prompts, n_frames=n_frames, batch_size=8,
+            miou_thresh=2.0, n_max_tracks=64, on_track=results.append)
+        t2 = time.perf_counter()
+        # stage 3: selection forward + merged-masklet J&F vs GT
+        toks = np.zeros((1, n_track_pad, n_frames, scfg.object_token_dim),
+                        np.float32)
+        for i, r in enumerate(results[:n_track_pad]):
+            toks[0, i] = r.tokens
+        tmask = np.zeros((1, n_track_pad), bool)
+        tmask[0, :len(results)] = True
+        scores = np.asarray(sel_fwd(sel_vars, jnp.asarray(toks), lang_b,
+                                    jnp.asarray(tmask)))[0]
+        order = np.argsort(scores[:len(results)])[::-1][:2]
+        merged = np.maximum(results[int(order[0])].masklet,
+                            results[int(order[1])].masklet)
+        j, f = jf_packed(jnp.asarray(pack(merged)), jnp.asarray(pack(gt)))
+        jf = (float(j) + float(f)) / 2.0
+        t3 = time.perf_counter()
+        return {"total": t3 - t0, "amg": t1 - t0, "trackgen": t2 - t1,
+                "selection_eval": t3 - t2, "n_tracks": len(results),
+                "jf": jf}
+
+    one_video()  # warmup: compiles (programs shared with the trackgen
+    #              section where shapes coincide)
+    runs = [one_video() for _ in range(repeats)]
+    best = min(runs, key=lambda r: r["total"])
+    n_tracked = best["n_tracks"]
+    a100_s = (len(range(0, n_frames, bin_size)) * A100_AMG_S_PER_FRAME
+              + 2.0 * n_frames * n_tracked / A100_PROPAGATION_OBJECT_FPS)
+    return {
+        "e2e_videos_per_s": round(1.0 / best["total"], 4),
+        "e2e_s_per_video": round(best["total"], 2),
+        "e2e_amg_s": round(best["amg"], 2),
+        "e2e_trackgen_s": round(best["trackgen"], 2),
+        "e2e_selection_eval_s": round(best["selection_eval"], 2),
+        "e2e_n_tracks": n_tracked,
+        "e2e_frames": n_frames,
+        "e2e_a100_s_composed": round(a100_s, 1),
+        "e2e_vs_a100": round(a100_s / best["total"], 2),
+    }
 
 
 def bench_gdino(n_images: int = 3) -> dict:
@@ -706,6 +909,7 @@ def bench_gdino(n_images: int = 3) -> dict:
     best = run(GroundingModel(model, variables))
     out = {"gdino_s_per_image": round(best, 3),
            "gdino_vs_a100_0p1s": round(0.1 / best, 2)}
+    _partial(out)
     try:
         gm16 = GroundingModel(model, variables, compute_dtype=jnp.bfloat16)
         best16 = run(gm16)
@@ -825,14 +1029,28 @@ def _probe_backend(budget_s: Optional[int] = None,
         time.sleep(min(30, budget_s))  # breathe between attempts
 
 
-# (name, budget_s) in run order. trackgen FIRST: it produces the headline
-# metric, and its programs are the ones most likely to need a cold
-# recompile (10-25 min each through the relay) — if an external watchdog
-# cuts the run short, the headline must already be in hand. 4500 s budget
-# = one worst-case compile + the measured section.
-SECTIONS = [("trackgen", 4500), ("selection", 1200), ("train", 1200),
-            ("loader", 1500), ("roberta", 900), ("gdino", 2400),
-            ("packed", 1500), ("longvideo", 3600)]
+# (name, budget_s) in PRIORITY order. trackgen FIRST: it produces the
+# headline metric, and its programs are the ones most likely to need a
+# cold recompile (10-25 min each through the relay) — if an external
+# watchdog cuts the run short, the headline must already be in hand.
+# Budgets are per-section kill caps (sized for one worst-case cold
+# compile); the TOTAL wall clock is planned separately against
+# SOLA_BENCH_TOTAL_BUDGET (see _effective_budget).
+SECTIONS = [("trackgen", 4500), ("e2e", 1800), ("selection", 1200),
+            ("train", 1200), ("loader", 1500), ("roberta", 900),
+            ("gdino", 2400), ("packed", 1500), ("longvideo", 3600)]
+
+# minimum seconds a WARM section needs to produce metrics: with less than
+# this left on the total-budget clock the section is SKIPPED and recorded
+# as skipped (a deliberate gap in the record beats a killed child)
+SECTION_MIN_S = {"trackgen": 420, "e2e": 300, "selection": 90,
+                 "train": 120, "loader": 240, "roberta": 60,
+                 "gdino": 240, "packed": 300, "longvideo": 420}
+
+FINAL_RESERVE_S = 30        # clock held back for the final record print
+TRACKGEN_BUDGET_FRAC = 0.55  # hard slice: the headline section may not
+#                              eat more than this share of the total
+#                              budget even when cold
 
 
 def _section_enabled(name: str, only: Optional[set]) -> bool:
@@ -847,16 +1065,38 @@ def _section_enabled(name: str, only: Optional[set]) -> bool:
     return True
 
 
-def _run_sections_inprocess(only: Optional[set]) -> tuple:
+def _effective_budget(name: str, budget: int, deadline: Optional[float],
+                      total_budget: Optional[int]) -> Optional[int]:
+    """Seconds this section may run NOW: its static cap, bounded by the
+    remaining total-budget clock (and, for trackgen, by its hard slice).
+    Returns None when the remaining clock is below the section's warm
+    minimum — the caller records a skip instead of starting it."""
+    if deadline is None:
+        return budget
+    remaining = int(deadline - time.monotonic() - FINAL_RESERVE_S)
+    if remaining < SECTION_MIN_S.get(name, 120):
+        return None
+    eff = min(budget, remaining)
+    if name == "trackgen" and total_budget:
+        eff = min(eff, max(int(total_budget * TRACKGEN_BUDGET_FRAC),
+                           SECTION_MIN_S["trackgen"]))
+    return eff
+
+
+def _run_sections_inprocess(only: Optional[set],
+                            emit=None) -> tuple:
     """Run the selected sections in THIS process (the child path of the
-    subprocess driver below, and the SOLA_BENCH_ONLY debugging path)."""
+    subprocess driver below, and the SOLA_BENCH_ONLY debugging path).
+    No total-budget planning here: children are bounded by the parent's
+    kill, and standalone SOLA_BENCH_ONLY runs (cache warming) must be
+    allowed to sit through cold compiles."""
     metrics: dict = {}
     errors: dict = {}
     fns = {"trackgen": lambda: bench_trackgen(
                n_frames=int(os.environ.get("SOLA_BENCH_FRAMES", "32"))),
            "selection": bench_selection, "train": bench_train_step,
            "loader": bench_loader_train, "roberta": bench_roberta,
-           "gdino": bench_gdino, "packed": bench_packed,
+           "gdino": bench_gdino, "packed": bench_packed, "e2e": bench_e2e,
            "longvideo": lambda: bench_longvideo(
                n_frames=int(os.environ.get("SOLA_BENCH_LONGVIDEO_FRAMES",
                                            "256")))}
@@ -867,11 +1107,29 @@ def _run_sections_inprocess(only: Optional[set]) -> tuple:
             metrics.update(_with_timeout(fns[name], budget))
         except Exception as e:  # report partial results, never crash
             errors[name] = f"{type(e).__name__}: {e}"
+        if emit is not None:
+            emit(metrics, errors)
     return metrics, errors
 
 
+def _last_json_line(text: Optional[str]) -> Optional[dict]:
+    if not text:
+        return None
+    if isinstance(text, bytes):
+        text = text.decode("utf-8", "replace")
+    line = next((ln for ln in reversed(text.splitlines())
+                 if ln.startswith("{")), None)
+    try:
+        return json.loads(line) if line else None
+    except json.JSONDecodeError:
+        return None
+
+
 def _run_sections_subprocess(only: Optional[set],
-                             cmd: Optional[list] = None) -> tuple:
+                             cmd: Optional[list] = None,
+                             emit=None,
+                             deadline: Optional[float] = None,
+                             total_budget: Optional[int] = None) -> tuple:
     """Run each section as `python bench.py` with SOLA_BENCH_ONLY=<name>,
     hard-killed on budget overrun. The in-process _with_timeout rests on
     SIGALRM, which never fires while a device op is stuck inside native
@@ -879,26 +1137,38 @@ def _run_sections_subprocess(only: Optional[set],
     subprocess can always be killed, so one dead section (or a relay
     flap) costs its budget, not the whole bench. The persistent compile
     cache makes the per-section re-import cheap (~30 s). ``cmd`` overrides
-    the child argv (tests substitute a stub)."""
+    the child argv (tests substitute a stub).
+
+    ``emit(metrics, errors)`` is called after every section (completed,
+    failed, or skipped) so the caller can print a cumulative record line;
+    ``deadline``/``total_budget`` plan sections inside the total
+    wall-clock budget (see _effective_budget)."""
     import subprocess
 
     metrics: dict = {}
     errors: dict = {}
 
+    def clock_left() -> float:
+        return (float("inf") if deadline is None
+                else deadline - time.monotonic() - FINAL_RESERVE_S)
+
     def relay_state(section: str) -> str:
         """After a section hit a dead backend, classify the outage:
-        'alive' — quick probe passes: the relay is fine NOW, but the
-        child's own fail-fast probe may have caught a transient flap
-        before the section even ran (observed: a train section lost to
-        one 300 s probe timeout while every other section passed), so
-        the section still deserves one retry. 'recovered' — the quick
-        probe failed but a patient re-probe window succeeded: the outage
-        killed the section, retry it once and keep going (round-3
+        'alive' — quick probe passes: the relay is fine NOW (for a child
+        that REPORTED a backend error, its own fail-fast probe may have
+        caught a transient flap, so the section deserves one retry; for
+        a child the PARENT had to kill, an alive relay means the section
+        deterministically overran its budget — retrying would burn
+        another full budget on the same outcome). 'recovered' — the
+        quick probe failed but a patient re-probe window succeeded: the
+        outage killed the section, retry it once and keep going (round-3
         lesson: never trade the whole record for one outage). 'dead' —
         still unreachable after the window: record and stop."""
         if _probe_backend(attempts=1) is None:
             return "alive"
         window = int(os.environ.get("SOLA_PROBE_REPROBE_WINDOW", "1800"))
+        if deadline is not None:
+            window = max(min(window, int(clock_left())), 60)
         return ("recovered" if _probe_backend(window_s=window) is None
                 else "dead")
 
@@ -906,68 +1176,78 @@ def _run_sections_subprocess(only: Optional[set],
              if _section_enabled(name, only)]
     while queue:
         name, budget, tries = queue.pop(0)
+        eff = _effective_budget(name, budget, deadline, total_budget)
+        if eff is None:
+            errors[name] = (f"skipped: {int(max(clock_left(), 0))}s left "
+                            f"of the total budget < section minimum "
+                            f"{SECTION_MIN_S.get(name, 120)}s")
+            if emit is not None:
+                emit(metrics, errors)
+            continue
         env = dict(os.environ, SOLA_BENCH_ONLY=name,
                    # parent already probed with full patience; children
                    # fail fast so a mid-bench relay death is cheap
                    SOLA_PROBE_ATTEMPTS="1")
-        backend_dead = False
+        timed_out = False
+        payload = None
         try:
             proc = subprocess.run(
                 cmd or [sys.executable, os.path.abspath(__file__)],
                 capture_output=True, text=True, env=env,
-                timeout=budget + 180)
-        except subprocess.TimeoutExpired:
-            errors[name] = f"section killed after {budget + 180}s"
-            backend_dead = True  # confirm below; a hang usually IS the relay
+                timeout=eff + 180)
+            payload = _last_json_line(proc.stdout)
+        except subprocess.TimeoutExpired as exc:
+            timed_out = True
+            errors[name] = f"section killed after {eff + 180}s"
+            # salvage the child's last partial-metrics line: a section
+            # that died 80% done still contributes what it measured
+            payload = _last_json_line(exc.stdout)
             proc = None
-        if proc is not None:
-            line = next((ln for ln in reversed(proc.stdout.splitlines())
-                         if ln.startswith("{")), None)
-            try:
-                payload = json.loads(line) if line else None
-            except json.JSONDecodeError:
-                payload = None
-            if payload is None:
-                errors[name] = (f"no JSON from section "
-                                f"(rc={proc.returncode}):"
-                                f" {proc.stderr.strip()[-300:]}")
-                continue
+        backend_dead = timed_out
+        if payload is None and proc is not None:
+            errors[name] = (f"no JSON from section "
+                            f"(rc={proc.returncode}):"
+                            f" {proc.stderr.strip()[-300:]}")
+            if emit is not None:
+                emit(metrics, errors)
+            continue
+        if payload is not None:
             metrics.update(payload.get("metrics", {}))
             child_errors = payload.get("errors", {})
             for key, msg in child_errors.items():
                 errors[key if key != "backend" else name] = msg
-            backend_dead = "backend" in child_errors
+            backend_dead = backend_dead or "backend" in child_errors
         if backend_dead:
             state = relay_state(name)
             if state == "dead":
                 errors["backend"] = ("relay died mid-bench and did not "
                                      "recover within the re-probe window; "
                                      "remaining sections skipped")
+                if emit is not None:
+                    emit(metrics, errors)
                 break
             errors.pop("backend", None)
-            if tries == 0:
-                # alive or recovered: a flap, not the section, is the
-                # likelier culprit — retry once before keeping the error
+            if state == "alive" and timed_out:
+                # the child overran its budget with the relay alive the
+                # whole time: deterministic overrun, keep the error and
+                # the salvaged partials, do NOT burn another budget
+                pass
+            elif tries == 0 and clock_left() > SECTION_MIN_S.get(name, 120):
+                # child-reported flap or relay recovery: the outage, not
+                # the section, is the likelier culprit — retry once
                 errors.pop(name, None)
                 queue.insert(0, (name, budget, 1))
+                continue
+        if emit is not None:
+            emit(metrics, errors)
     return metrics, errors
 
 
-def main() -> None:
-    probe_err = _probe_backend()
-    if probe_err is not None:
-        print(json.dumps({
-            "metric": "sam2_propagation_object_fps", "value": None,
-            "unit": "object-frames/s", "vs_baseline": None,
-            "errors": {"backend": f"device backend unreachable: {probe_err}"},
-            "metrics": {}}))
-        return
-    only = os.environ.get("SOLA_BENCH_ONLY")  # comma list, e.g. "trackgen"
-    only = set(only.split(",")) if only else None
-    if only is not None or os.environ.get("SOLA_BENCH_INPROCESS") == "1":
-        metrics, errors = _run_sections_inprocess(only)
-    else:
-        metrics, errors = _run_sections_subprocess(only)
+def _build_record(metrics: dict, errors: dict) -> dict:
+    """The one-line JSON record schema — identical for every cumulative
+    emission and the final print, so the LAST JSON line on stdout is
+    always the newest complete record no matter when the process dies."""
+    metrics = dict(metrics)
     if ("loader_train_pairs_per_s" in metrics
             and "selection_train_pairs_per_s" in metrics):
         # fraction of wall time the step sits idle waiting on input (approx:
@@ -992,7 +1272,40 @@ def main() -> None:
     out["metrics"] = metrics
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    return out
+
+
+def main() -> None:
+    t_start = time.monotonic()
+    total_budget = int(os.environ.get("SOLA_BENCH_TOTAL_BUDGET", "2400"))
+    deadline = t_start + total_budget
+    # initial probe patience is bounded by the total budget: burning the
+    # whole run probing a dead relay yields the same empty record as not
+    # probing at all, so cap at a quarter of the budget
+    probe_window = min(int(os.environ.get("SOLA_PROBE_WINDOW", "3600")),
+                       max(180, total_budget // 4))
+    probe_err = _probe_backend(window_s=probe_window)
+    if probe_err is not None:
+        print(json.dumps({
+            "metric": "sam2_propagation_object_fps", "value": None,
+            "unit": "object-frames/s", "vs_baseline": None,
+            "errors": {"backend": f"device backend unreachable: {probe_err}"},
+            "metrics": {}}), flush=True)
+        return
+
+    def emit(metrics: dict, errors: dict) -> None:
+        # a full cumulative record after EVERY section: an external kill
+        # one second later still leaves this as the last JSON line
+        print(json.dumps(_build_record(metrics, errors)), flush=True)
+
+    only = os.environ.get("SOLA_BENCH_ONLY")  # comma list, e.g. "trackgen"
+    only = set(only.split(",")) if only else None
+    if only is not None or os.environ.get("SOLA_BENCH_INPROCESS") == "1":
+        metrics, errors = _run_sections_inprocess(only, emit=emit)
+    else:
+        metrics, errors = _run_sections_subprocess(
+            only, emit=emit, deadline=deadline, total_budget=total_budget)
+    print(json.dumps(_build_record(metrics, errors)), flush=True)
 
 
 if __name__ == "__main__":

@@ -16,7 +16,7 @@ set -u
 cd "$(dirname "$0")/.."
 mkdir -p /tmp
 
-for section in trackgen packed gdino selection train loader roberta; do
+for section in trackgen e2e packed gdino selection train loader roberta longvideo; do
   echo "=== warming $section ($(date)) ==="
   SOLA_BENCH_ONLY=$section timeout 5400 python bench.py \
     > "/tmp/warm_${section}.log" 2>&1
@@ -26,8 +26,10 @@ for section in trackgen packed gdino selection train loader roberta; do
 done
 
 echo "=== full driver-exact bench ($(date)) ==="
-# budget >= the sum of bench.py's section budgets (~13200s) so a section
-# that stayed cold (a failed warm pass above) can still compile here
-timeout 14400 python bench.py > /tmp/warm_full.log 2>&1
+# big total budget so a section that stayed cold (a failed warm pass
+# above) can still compile here; the driver's own run uses the default
+# 2400 s budget against a fully warm cache
+SOLA_BENCH_TOTAL_BUDGET=14400 timeout 15000 python bench.py \
+  > /tmp/warm_full.log 2>&1
 echo "rc=$?"
 tail -c 1500 /tmp/warm_full.log

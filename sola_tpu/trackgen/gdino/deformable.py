@@ -97,7 +97,14 @@ def ms_deform_attn_core_auto(value_levels: Sequence[jax.Array],
     kernel (ops/deformable_interp.py; 2.7x the gather core at production
     encoder shapes on v5e) on TPU for large query counts, the XLA gather
     form elsewhere. ``SOLA_DEFORMABLE_CORE=pallas|gather`` forces a path
-    (tests use ``pallas`` with interpret mode on CPU)."""
+    (tests use ``pallas`` with interpret mode on CPU).
+
+    NOTE: the env var and backend are resolved at TRACE time — once an
+    enclosing forward is jitted, later changes to SOLA_DEFORMABLE_CORE
+    have no effect on the already-compiled program. Set the override
+    before the first compilation (bench/CLIs read it at process start);
+    bf16-mode kernel drift vs the gather core is bounded by
+    tests/test_deformable_interp.py::test_pallas_core_bf16_values_bounded_drift."""
     mode = os.environ.get("SOLA_DEFORMABLE_CORE", "auto")
     lq = sampling_locations.shape[1]
     use_pallas = mode == "pallas" or (

@@ -56,6 +56,27 @@ def test_pallas_core_block_padding_paths():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_pallas_core_bf16_values_bounded_drift():
+    """Production GDINO runs the kernel on bf16 values, where the combined
+    f32 attention-x-bilinear weights are cast to bf16 before the MXU
+    matmul (deformable_interp.py _interp_kernel) — a numerics difference
+    vs the gather core, which multiplies bf16 values by f32 weights.
+    Bound that drift (ADVICE r4): weights lie in [0, 1] so the bf16 cast
+    costs ~2^-8 relative per term; summed over heads*points corner terms
+    in an f32 accumulator the output must stay within ~1% relative of the
+    f32-weight gather core."""
+    rng = np.random.default_rng(3)
+    values, loc, wgt = _make(rng, [(12, 16), (6, 8)], lq=40)
+    values16 = [v.astype(jnp.bfloat16) for v in values]
+    ref = deformable.ms_deform_attn_core(values16, loc, wgt)  # bf16 x f32
+    got = ms_deform_attn_core_pallas(values16, loc, wgt, interpret=True)
+    ref = np.asarray(ref, np.float32)
+    got = np.asarray(got, np.float32)
+    scale = np.abs(ref).max()
+    maxdiff = np.abs(got - ref).max()
+    assert maxdiff <= 0.015 * scale, (maxdiff, scale)
+
+
 def test_corner_terms_zero_out_of_range():
     # every corner of a far-out-of-range sample carries zero weight, and a
     # boundary sample keeps only its in-range corners
