@@ -820,7 +820,10 @@ def bench_e2e(n_frames: int = 32, n_prompts: int = 12,
         toks = np.zeros((1, n_track_pad, n_frames, scfg.object_token_dim),
                         np.float32)
         for i, r in enumerate(results[:n_track_pad]):
-            toks[0, i] = r.tokens
+            # production SAM2 obj_ptr dim == selection object_token_dim
+            # (256); the tiny_test smoke config is narrower — zero-pad
+            d = min(r.tokens.shape[-1], scfg.object_token_dim)
+            toks[0, i, :, :d] = r.tokens[:, :d]
         tmask = np.zeros((1, n_track_pad), bool)
         tmask[0, :len(results)] = True
         scores = np.asarray(sel_fwd(sel_vars, jnp.asarray(toks), lang_b,
