@@ -113,6 +113,15 @@ def main() -> int:
                     help="e.g. roberta_random: the REAL 24-layer Flax "
                          "RoBERTa (random init) in-loop instead of the "
                          "hash stand-in")
+    ap.add_argument("--threshold_sweep", default="",
+                    help="comma thresholds; after the per-epoch pass, the "
+                         "top-3 epochs by J&F are re-evaluated at each — "
+                         "the collapse-diagnosis methodology (the 0.5 "
+                         "threshold under-selects late epochs; peak-epoch"
+                         "+threshold selection is the operative recipe, "
+                         "mirroring the reference's per-epoch eval.py)")
+    ap.add_argument("--keep_work", action="store_true",
+                    help="keep the work dir (checkpoints) for follow-ups")
     args = ap.parse_args()
 
     work = tempfile.mkdtemp(prefix="quality_run_")
@@ -182,6 +191,35 @@ def main() -> int:
                                "f1", "total_loss")}
         print(f"[eval] epoch {epoch}: {jf_by_epoch[epoch]}", flush=True)
 
+    # phase 3b: threshold sweep over the top epochs (score-calibration
+    # drift makes a FIXED 0.5 threshold under-select late epochs —
+    # artifacts/quality_run/COLLAPSE_DIAGNOSIS.md; the peak over
+    # (epoch, threshold) is the recipe-faithful headline)
+    sweep = {}
+    if args.threshold_sweep:
+        thresholds = [float(t) for t in args.threshold_sweep.split(",")]
+        top = sorted(jf_by_epoch, key=lambda e: -jf_by_epoch[e]["mean_JF"])
+        for epoch in sorted(top[:3]):
+            for thr in thresholds:
+                rc = subprocess.run(
+                    [sys.executable, "-m", "sola_tpu.cli.eval", "--config",
+                     yaml_path, "--eval_weight_epoch", str(epoch),
+                     "--eval_pred_threshold", str(thr)],
+                    env=env, capture_output=True, text=True)
+                assert rc.returncode == 0, \
+                    f"sweep eval e{epoch} t{thr}: {rc.stdout[-2000:]}"
+                eval_dir = None
+                for line in rc.stdout.splitlines():
+                    if "EVAL OUTPUTS WILL BE SAVED IN" in line:
+                        eval_dir = line.split("IN", 1)[1].strip()
+                m = json.load(open(os.path.join(
+                    eval_dir, f"valid_u_metrics_{epoch}epoch.json")))
+                sweep[f"epoch{epoch}_thr{thr}"] = {
+                    k: m[k] for k in ("mean_J", "mean_F", "mean_JF",
+                                      "f1", "precision", "recall")}
+                print(f"[sweep] epoch {epoch} thr {thr}: "
+                      f"JF={m['mean_JF']:.4f} f1={m['f1']:.4f}", flush=True)
+
     # phase 4: commit-ready artifacts
     os.makedirs(args.out, exist_ok=True)
     shutil.copy(os.path.join(train_dir, "log.txt"),
@@ -208,6 +246,10 @@ def main() -> int:
         "backend": os.environ.get("JAX_PLATFORMS", "axon-tpu (default)"),
         "text_encoder": args.text_encoder or "hash (no local weights)",
     }
+    if sweep:
+        summary["threshold_sweep"] = sweep
+        peak_key = max(sweep, key=lambda k: sweep[k]["mean_JF"])
+        summary["peak"] = {"config": peak_key, **sweep[peak_key]}
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary, indent=2))
@@ -216,7 +258,10 @@ def main() -> int:
     print(f"QUALITY RUN OK: J&F {first_jf:.4f} -> {final_jf:.4f} over "
           f"{args.epochs} epochs, resume exercised, artifacts in "
           f"{args.out}")
-    shutil.rmtree(work, ignore_errors=True)
+    if args.keep_work:
+        print(f"work dir kept: {work}")
+    else:
+        shutil.rmtree(work, ignore_errors=True)
     return 0
 
 

@@ -126,7 +126,12 @@ class SAM2AutomaticMaskGenerator:
 
     def _enqueue(self, image: np.ndarray):
         """Device phase: encode + whole-grid propose/filter.
-        Returns a pending record; nothing is fetched to host."""
+        Returns a pending record; nothing is fetched to host. The small
+        survivor outputs (count + per-survivor scalars) start their
+        device->host copies HERE — enqueued before any later frame's
+        compute, they land the moment propose finishes instead of queuing
+        a synchronous round trip behind it (the r4 0.34->0.46 s/frame
+        regression: the scalar fetch sat in the device-idle window)."""
         h, w = image.shape[:2]
         self.predictor.set_image(image)
         grid = build_point_grid(self.points_per_side)
@@ -135,6 +140,12 @@ class SAM2AutomaticMaskGenerator:
             coords[:, None, :], self.stability_score_offset,
             self.pred_iou_thresh, self.stability_score_thresh,
             chunk=self.points_per_batch, k_max=self.max_survivors)
+        (_scores, _low_dev, flat_all, iou_all, stab_all, n_valid_dev) = out
+        for dev_arr in (n_valid_dev, flat_all, iou_all, stab_all):
+            try:
+                dev_arr.copy_to_host_async()
+            except AttributeError:
+                pass  # non-jax arrays in test fakes
         return (image, coords, grid, h, w, out)
 
     def _harvest(self, pending) -> list[dict]:
@@ -166,6 +177,14 @@ class SAM2AutomaticMaskGenerator:
         k_fin = min(low_dev.shape[0], max(64, 1 << (k - 1).bit_length()))
         packed_dev, boxes_dev, areas_dev = \
             self.predictor.finalize_masks_dispatch(low_dev, h, w, k_fin=k_fin)
+        # start the finalize outputs' host copies now: enqueued before the
+        # NEXT frame's propose, they complete when finalize does instead of
+        # waiting behind the next frame's compute on the in-order stream
+        for dev_arr in (packed_dev, boxes_dev, areas_dev):
+            try:
+                dev_arr.copy_to_host_async()
+            except AttributeError:
+                pass
         return ("fin", packed_dev, boxes_dev, areas_dev, k,
                 iou_all, stab_all, flat_all, coords, h, w)
 
@@ -184,7 +203,8 @@ class SAM2AutomaticMaskGenerator:
         flat = np.asarray(flat_all)[:k]
         kept_pts = [coords[i] for i in flat // 3]
         return self._select_and_emit(packed_dev, boxes, areas, kept_iou,
-                                     kept_stab, kept_pts, h, w)
+                                     kept_stab, kept_pts, h, w,
+                                     packed_prefetched=True)
 
     def _generate_multi_dispatch(self, image, coords, grid, h, w):
         """Per-point-batch dispatch path (round-2 design): only used when
@@ -251,9 +271,16 @@ class SAM2AutomaticMaskGenerator:
                                      kept_stab, kept_pts, h, w)
 
     def _select_and_emit(self, packed_dev, boxes, areas, kept_iou,
-                         kept_stab, kept_pts, h, w) -> list[dict]:
+                         kept_stab, kept_pts, h, w,
+                         packed_prefetched: bool = False) -> list[dict]:
         """Shared AMG tail: small-region postprocess, host NMS over device
-        boxes, bucket-padded fetch of only the kept bit-packed masks."""
+        boxes, then the kept bit-packed masks. ``packed_prefetched``:
+        the single-dispatch path already started the whole (small,
+        bucket-padded) packed buffer's async host copy at finalize time —
+        slice it on host instead of a device gather, whose dispatch+fetch
+        round trip would queue behind the NEXT frame's propose in the
+        pipelined path (the r4 AMG regression). The multi-dispatch
+        fallback's buffer can be ~3k masks, so it keeps the gather."""
         from sola_tpu.trackgen.sam2.image import unpack_masks
 
         k = len(kept_iou)
@@ -268,6 +295,11 @@ class SAM2AutomaticMaskGenerator:
             boxes = np.stack([box_from_mask(m) for m in masks], axis=0)
             areas = masks.reshape(len(masks), -1).sum(axis=1)
             fetch_masks = lambda keep: masks[keep]  # already on host
+        elif packed_prefetched:
+            def fetch_masks(keep):
+                # materializes the copy started at finalize dispatch; no
+                # new stream op, so nothing queues behind the next frame
+                return unpack_masks(np.asarray(packed_dev)[keep], h, w)
         else:
             def fetch_masks(keep):
                 kk = len(keep)
