@@ -90,15 +90,23 @@ def main(batch=8, n_tracks=64, n_frames=64, n_words=16, n_steps=24,
                  "temperature": 0.07}
     rng = np.random.default_rng(0)
     results = {}
-    for name, use_pallas, dtype_name in [
-            ("fp32_dense", False, "float32"),
-            ("fp32_pallas", True, "float32"),
-            ("bf16_dense", False, "bfloat16"),
-            ("bf16_pallas", True, "bfloat16")]:
-        # attn_dropout_p=0 in ALL variants: the fused kernel cannot apply
-        # attention-prob dropout, so the comparison holds it fixed at zero
+    # the round-5 kernel applies attention-prob dropout IN-kernel via a
+    # counter-based hash (ops/flash_attention.py), so the production recipe
+    # (SDPA dropout 0.1, tools/attention.py:12) is now measurable on the
+    # pallas path too; *_rbg variants swap the threefry PRNG for the
+    # hardware RngBitGenerator to price the dropout-bit generation itself
+    for name, use_pallas, dtype_name, attn_p, rng_impl in [
+            ("fp32_dense", False, "float32", 0.0, None),
+            ("fp32_pallas", True, "float32", 0.0, None),
+            ("bf16_dense", False, "bfloat16", 0.0, None),
+            ("bf16_pallas", True, "bfloat16", 0.0, None),
+            ("fp32_dense_drop", False, "float32", 0.1, None),
+            ("fp32_pallas_kerneldrop", True, "float32", 0.1, None),
+            ("fp32_dense_drop_rbg", False, "float32", 0.1, "rbg"),
+            ("fp32_pallas_kerneldrop_rbg", True, "float32", 0.1, "rbg"),
+            ("bf16_pallas_kerneldrop_rbg", True, "bfloat16", 0.1, "rbg")]:
         cfg = SelectionConfig(use_pallas_attention=use_pallas,
-                              attn_dropout_p=0.0)
+                              attn_dropout_p=attn_p)
         dtype = jnp.float32 if dtype_name == "float32" else jnp.bfloat16
         optimizer = state_lib.make_optimizer(lr=5e-6, grad_clip_norm=1.0)
         tstate = state_lib.create_train_state(cfg, optimizer)
@@ -117,7 +125,8 @@ def main(batch=8, n_tracks=64, n_frames=64, n_words=16, n_steps=24,
             "labels": jnp.asarray(
                 (rng.random((batch, n_tracks)) > 0.5).astype(np.float32)),
         }
-        key = jax.random.PRNGKey(0)
+        key = (jax.random.PRNGKey(0) if rng_impl is None
+               else jax.random.key(0, impl=rng_impl))
         try:
             tstate, parts = step(tstate, batch_data, key)
             float(parts["total"])  # value fetch: real completion barrier
@@ -130,10 +139,22 @@ def main(batch=8, n_tracks=64, n_frames=64, n_words=16, n_steps=24,
                 # (block_until_ready can ack early through the relay)
                 float(parts["total"])
                 best = min(best, time.perf_counter() - t0)
+            pairs_per_s = n_steps * batch / best
             results[name] = {
-                "pairs_per_s": round(n_steps * batch / best, 2),
+                "pairs_per_s": round(pairs_per_s, 2),
                 "loss": round(float(parts["total"]), 4),
             }
+            try:
+                cost = step.lower(tstate, batch_data, key).compile(
+                ).cost_analysis()
+                if isinstance(cost, (list, tuple)):
+                    cost = cost[0]
+                flops = float(cost.get("flops", 0.0))
+                if flops > 0:
+                    results[name]["mfu_v5e_bf16peak"] = round(
+                        (flops * pairs_per_s / batch) / 3.94e14, 4)
+            except Exception:
+                pass
         except Exception as e:
             results[name] = {"error": f"{type(e).__name__}: {e}"}
     print(json.dumps(results))

@@ -81,13 +81,22 @@ class MultiHeadAttention(nn.Module):
         kh = kp.reshape(b, lk, h, hd).transpose(0, 2, 1, 3)
         vh = vp.reshape(b, lk, h, hd).transpose(0, 2, 1, 3)
 
-        # the fused kernel handles key-validity masks and has a custom_vjp
-        # backward; only attention-prob dropout (train-time, torch SDPA
-        # placement) forces the dense path — dropout inside an online-softmax
-        # kernel would change the train-time math
-        if self.use_pallas and (deterministic or self.dropout_p == 0.0):
+        # the fused kernel handles key-validity masks, has a custom_vjp
+        # backward, and (since round 5) applies train-time attention-prob
+        # dropout IN-kernel via a counter-based hash mask (torch SDPA
+        # placement, tools/attention.py:71) — the fwd and bwd kernels
+        # regenerate the identical mask from one per-call seed, so the
+        # pallas path is now eligible in training too
+        if self.use_pallas:
             from sola_tpu.ops.flash_attention import fused_attention
-            out = fused_attention(qh, kh, vh, key_mask=key_mask)
+            if deterministic or self.dropout_p == 0.0:
+                out = fused_attention(qh, kh, vh, key_mask=key_mask)
+            else:
+                seed = jax.random.bits(self.make_rng("dropout"), (1,),
+                                       jnp.uint32)
+                out = fused_attention(qh, kh, vh, key_mask=key_mask,
+                                      dropout_rate=self.dropout_p,
+                                      dropout_seed=seed)
         else:
             scale = 1.0 / jnp.sqrt(jnp.asarray(hd, qh.dtype))
             logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
