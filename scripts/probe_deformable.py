@@ -112,6 +112,32 @@ def main() -> int:
                 "pallas_local_s": round(t_p, 4),
                 "pallas_local_maxdiff": round(err_l, 5),
                 "pallas_local_speedup": round(t_g / t_p, 2)})
+
+    # block-size sweep on the banded pattern: SOLA_DEFORM_{QBLK,HWBLK} are
+    # trace-time constants, so each variant builds a fresh jit
+    import os
+    sweep = {}
+    for q_blk, hw_blk in ((256, 512), (256, 256), (128, 256), (128, 128),
+                          (256, 128), (512, 256)):
+        os.environ["SOLA_DEFORM_QBLK"] = str(q_blk)
+        os.environ["SOLA_DEFORM_HWBLK"] = str(hw_blk)
+        fn_v = jax.jit(
+            lambda v, l, w: deformable_interp.ms_deform_attn_core_pallas(
+                list(v), l, w, interpret=False))
+        try:
+            t_var, got_v = timed(fn_v, tuple(values_l), loc_l, wgt_l)
+            err_v = float(jnp.max(jnp.abs(
+                got_v.astype(jnp.float32) - ref_l.astype(jnp.float32))))
+            sweep[f"q{q_blk}_hw{hw_blk}"] = {
+                "s": round(t_var, 4), "maxdiff": round(err_v, 5)}
+        except Exception as e:
+            sweep[f"q{q_blk}_hw{hw_blk}"] = {
+                "error": f"{type(e).__name__}: {str(e)[:120]}"}
+        print(json.dumps({f"q{q_blk}_hw{hw_blk}":
+                          sweep[f"q{q_blk}_hw{hw_blk}"]}), flush=True)
+    os.environ.pop("SOLA_DEFORM_QBLK", None)
+    os.environ.pop("SOLA_DEFORM_HWBLK", None)
+    out["block_sweep_local"] = sweep
     print(json.dumps(out))
     return 0
 

@@ -39,8 +39,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-def _interp_kernel(idx_ref, wgt_ref, v_ref, o_ref, *, n_heads: int,
-                   head_dim: int, hw_blk: int, k_terms: int):
+def _interp_kernel(idx_ref, wgt_ref, v_ref, o_ref, s_scratch, *,
+                   n_heads: int, head_dim: int, hw_blk: int, k_terms: int):
     """One (b, q_block, hw_block) tile.
 
     idx_ref: (1, Q_BLK, n_heads * k_terms) int32 flat corner indices
@@ -49,7 +49,15 @@ def _interp_kernel(idx_ref, wgt_ref, v_ref, o_ref, *, n_heads: int,
              corner, zeroed for out-of-range corners)
     v_ref:   (1, HW_BLK, n_heads * head_dim) values
     o_ref:   (1, Q_BLK, n_heads * head_dim) f32 accumulator
-    """
+    s_scratch: (Q_BLK, HW_BLK) f32 — the head's interpolation-matrix tile
+
+    Three skip levels keep the VPU sweep volume proportional to the
+    populated band: whole-tile (no corner at all), per-head (this head's
+    16 terms all miss — cross-level query blocks routinely straddle
+    tiles where only some heads land), and per-term (a single point's
+    corners miss while its siblings hit). Each test is a (Q_BLK, K)- or
+    (Q_BLK, 1)-sized reduction, ~HW_BLK x cheaper than the sweep it
+    guards."""
     hwi = pl.program_id(2)
 
     @pl.when(hwi == 0)
@@ -66,15 +74,23 @@ def _interp_kernel(idx_ref, wgt_ref, v_ref, o_ref, *, n_heads: int,
         iota = jax.lax.broadcasted_iota(jnp.int32, (q_blk, hw_blk), 1)
         wgt = wgt_ref[0]
         for h in range(n_heads):
-            s = jnp.zeros((q_blk, hw_blk), jnp.float32)
-            for k in range(k_terms):
-                col = h * k_terms + k
-                s += jnp.where(iota == idx[:, col][:, None],
-                               wgt[:, col][:, None], 0.0)
-            v_h = v_ref[0, :, h * head_dim:(h + 1) * head_dim]
-            o_ref[0, :, h * head_dim:(h + 1) * head_dim] += jnp.dot(
-                s.astype(v_h.dtype), v_h,
-                preferred_element_type=jnp.float32)
+            h_cols = slice(h * k_terms, (h + 1) * k_terms)
+
+            @pl.when(jnp.any(in_blk[:, h_cols]))
+            def _head(h=h):
+                s_scratch[...] = jnp.zeros_like(s_scratch)
+                for k in range(k_terms):
+                    col = h * k_terms + k
+
+                    @pl.when(jnp.any(in_blk[:, col:col + 1]))
+                    def _term(col=col):
+                        s_scratch[...] += jnp.where(
+                            iota == idx[:, col][:, None],
+                            wgt[:, col][:, None], 0.0)
+                v_h = v_ref[0, :, h * head_dim:(h + 1) * head_dim]
+                o_ref[0, :, h * head_dim:(h + 1) * head_dim] += jnp.dot(
+                    s_scratch[...].astype(v_h.dtype), v_h,
+                    preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("n_heads", "q_blk",
@@ -109,6 +125,7 @@ def interp_matmul_level(idx: jax.Array, wgt: jax.Array, value: jax.Array,
                                lambda bi, qi, hi: (bi, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((b, q, value.shape[2]),
                                        jnp.float32),
+        scratch_shapes=[pltpu.VMEM((q_blk, hw_blk), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
         interpret=interpret,
@@ -166,17 +183,23 @@ def ms_deform_attn_core_pallas(value_levels, sampling_locations,
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    import os
     b, lq, n_heads, n_levels, n_points, _ = sampling_locations.shape
     c = value_levels[0].shape[-1]
     head_dim = c // n_heads
-    q_blk = 256 if lq >= 256 else 128
+    # block sizes are trace-time constants (like SOLA_DEFORMABLE_CORE —
+    # set them before the enclosing forward first compiles); smaller tiles
+    # track the sampling band tighter at the cost of more grid steps
+    q_blk_env = int(os.environ.get("SOLA_DEFORM_QBLK", "0"))
+    hw_blk_env = int(os.environ.get("SOLA_DEFORM_HWBLK", "0"))
+    q_blk = q_blk_env or (256 if lq >= 256 else 128)
     q_pad = _round_up(lq, q_blk)
 
     out = jnp.zeros((b, q_pad, c), jnp.float32)
     for lvl, value in enumerate(value_levels):
         h, w = value.shape[1], value.shape[2]
         hw = h * w
-        hw_blk = min(512, hw)
+        hw_blk = min(hw_blk_env or 512, hw)
         idx, wgt = corner_terms(sampling_locations[:, :, :, lvl],
                                 attention_weights[:, :, :, lvl], h, w)
         if q_pad != lq:
