@@ -151,8 +151,10 @@ def main(batch=8, n_tracks=64, n_frames=64, n_words=16, n_steps=24,
                     cost = cost[0]
                 flops = float(cost.get("flops", 0.0))
                 if flops > 0:
+                    # v5e bf16 peak 197 TFLOP/s (same constant as
+                    # bench.py V5E_BF16_PEAK_FLOPS)
                     results[name]["mfu_v5e_bf16peak"] = round(
-                        (flops * pairs_per_s / batch) / 3.94e14, 4)
+                        (flops * pairs_per_s / batch) / 1.97e14, 4)
             except Exception:
                 pass
         except Exception as e:
