@@ -117,10 +117,16 @@ def main() -> int:
     # trace-time constants, so each variant builds a fresh jit
     import os
     sweep = {}
-    for q_blk, hw_blk in ((256, 512), (256, 256), (128, 256), (128, 128),
-                          (256, 128), (512, 256)):
+    # guards=1 re-enables the per-head/per-term predication (v2 mode) so
+    # its cost is measured against the dense-sweep default on the same
+    # banded pattern
+    for q_blk, hw_blk, guards in (
+            (256, 512, 0), (256, 512, 1), (256, 256, 0), (128, 256, 0),
+            (128, 128, 0), (256, 128, 0), (512, 256, 0), (128, 256, 1)):
         os.environ["SOLA_DEFORM_QBLK"] = str(q_blk)
         os.environ["SOLA_DEFORM_HWBLK"] = str(hw_blk)
+        os.environ["SOLA_DEFORM_GUARDS"] = str(guards)
+        tag = f"q{q_blk}_hw{hw_blk}_g{guards}"
         fn_v = jax.jit(
             lambda v, l, w: deformable_interp.ms_deform_attn_core_pallas(
                 list(v), l, w, interpret=False))
@@ -128,15 +134,13 @@ def main() -> int:
             t_var, got_v = timed(fn_v, tuple(values_l), loc_l, wgt_l)
             err_v = float(jnp.max(jnp.abs(
                 got_v.astype(jnp.float32) - ref_l.astype(jnp.float32))))
-            sweep[f"q{q_blk}_hw{hw_blk}"] = {
-                "s": round(t_var, 4), "maxdiff": round(err_v, 5)}
+            sweep[tag] = {"s": round(t_var, 4), "maxdiff": round(err_v, 5)}
         except Exception as e:
-            sweep[f"q{q_blk}_hw{hw_blk}"] = {
-                "error": f"{type(e).__name__}: {str(e)[:120]}"}
-        print(json.dumps({f"q{q_blk}_hw{hw_blk}":
-                          sweep[f"q{q_blk}_hw{hw_blk}"]}), flush=True)
+            sweep[tag] = {"error": f"{type(e).__name__}: {str(e)[:120]}"}
+        print(json.dumps({tag: sweep[tag]}), flush=True)
     os.environ.pop("SOLA_DEFORM_QBLK", None)
     os.environ.pop("SOLA_DEFORM_HWBLK", None)
+    os.environ.pop("SOLA_DEFORM_GUARDS", None)
     out["block_sweep_local"] = sweep
     print(json.dumps(out))
     return 0

@@ -40,7 +40,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 def _interp_kernel(idx_ref, wgt_ref, v_ref, o_ref, s_scratch, *,
-                   n_heads: int, head_dim: int, hw_blk: int, k_terms: int):
+                   n_heads: int, head_dim: int, hw_blk: int, k_terms: int,
+                   guards: bool):
     """One (b, q_block, hw_block) tile.
 
     idx_ref: (1, Q_BLK, n_heads * k_terms) int32 flat corner indices
@@ -75,6 +76,20 @@ def _interp_kernel(idx_ref, wgt_ref, v_ref, o_ref, s_scratch, *,
         wgt = wgt_ref[0]
         for h in range(n_heads):
             h_cols = slice(h * k_terms, (h + 1) * k_terms)
+            if not guards:
+                # dense sweep: build S in registers, no predication — on a
+                # densely populated band the 8x16 per-head/per-term guard
+                # reductions cost more than the sweeps they skip
+                s = jnp.zeros((q_blk, hw_blk), jnp.float32)
+                for k in range(k_terms):
+                    col = h * k_terms + k
+                    s += jnp.where(iota == idx[:, col][:, None],
+                                   wgt[:, col][:, None], 0.0)
+                v_h = v_ref[0, :, h * head_dim:(h + 1) * head_dim]
+                o_ref[0, :, h * head_dim:(h + 1) * head_dim] += jnp.dot(
+                    s.astype(v_h.dtype), v_h,
+                    preferred_element_type=jnp.float32)
+                continue
 
             @pl.when(jnp.any(in_blk[:, h_cols]))
             def _head(h=h):
@@ -94,10 +109,12 @@ def _interp_kernel(idx_ref, wgt_ref, v_ref, o_ref, s_scratch, *,
 
 
 @functools.partial(jax.jit, static_argnames=("n_heads", "q_blk",
-                                             "hw_blk", "interpret"))
+                                             "hw_blk", "interpret",
+                                             "guards"))
 def interp_matmul_level(idx: jax.Array, wgt: jax.Array, value: jax.Array,
                         n_heads: int, q_blk: int = 256, hw_blk: int = 512,
-                        interpret: bool = False) -> jax.Array:
+                        interpret: bool = False,
+                        guards: bool = False) -> jax.Array:
     """One level's deformable sampling: (B, Q, H*K) indices/weights +
     (B, HW, H*D) values -> (B, Q, H*D) f32.
 
@@ -111,7 +128,7 @@ def interp_matmul_level(idx: jax.Array, wgt: jax.Array, value: jax.Array,
     grid = (b, q // q_blk, hw // hw_blk)
     kernel = functools.partial(_interp_kernel, n_heads=n_heads,
                                head_dim=head_dim, hw_blk=hw_blk,
-                               k_terms=k_terms)
+                               k_terms=k_terms, guards=guards)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -192,6 +209,11 @@ def ms_deform_attn_core_pallas(value_levels, sampling_locations,
     # track the sampling band tighter at the cost of more grid steps
     q_blk_env = int(os.environ.get("SOLA_DEFORM_QBLK", "0"))
     hw_blk_env = int(os.environ.get("SOLA_DEFORM_HWBLK", "0"))
+    # per-head/per-term guard predication (off by default: on the encoder's
+    # densely populated diagonal band the 8x16 guard reductions measured
+    # SLOWER than the dense sweeps they skip — gdino bench 0.15 -> 0.27
+    # s/expr; the whole-tile any-hit skip above stays either way)
+    guards = os.environ.get("SOLA_DEFORM_GUARDS", "0") == "1"
     q_blk = q_blk_env or (256 if lq >= 256 else 128)
     q_pad = _round_up(lq, q_blk)
 
@@ -214,5 +236,5 @@ def ms_deform_attn_core_pallas(value_levels, sampling_locations,
             v_flat = jnp.pad(v_flat, [(0, 0), (0, hw_pad - hw), (0, 0)])
         out = out + interp_matmul_level(idx, wgt, v_flat, n_heads=n_heads,
                                         q_blk=q_blk, hw_blk=hw_blk,
-                                        interpret=interpret)
+                                        interpret=interpret, guards=guards)
     return out[:, :lq].astype(value_levels[0].dtype)

@@ -44,6 +44,21 @@ def test_pallas_core_matches_gather_core(in_range):
                                atol=1e-5, rtol=1e-5)
 
 
+def test_pallas_core_guard_modes_identical(monkeypatch):
+    """SOLA_DEFORM_GUARDS toggles the per-head/per-term predication
+    (guards=1, the tile-skip mode) vs the dense register sweep (guards=0,
+    the default — measured faster on the encoder's dense diagonal band).
+    Both modes must produce bit-identical results."""
+    rng = np.random.default_rng(7)
+    values, loc, wgt = _make(rng, [(12, 16), (6, 8)], lq=40, in_range=False)
+    outs = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("SOLA_DEFORM_GUARDS", mode)
+        outs[mode] = np.asarray(
+            ms_deform_attn_core_pallas(values, loc, wgt, interpret=True))
+    np.testing.assert_array_equal(outs["0"], outs["1"])
+
+
 def test_pallas_core_block_padding_paths():
     # lq=300 pads 256-blocks to 512; hw=20*26=520 pads 512-blocks to 1024
     rng = np.random.default_rng(2)
