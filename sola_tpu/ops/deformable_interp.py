@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-def _interp_kernel(idx_ref, wgt_ref, v_ref, o_ref, s_scratch, *,
+def _interp_kernel(idx_ref, wgt_ref, v_ref, o_ref, *scratch,
                    n_heads: int, head_dim: int, hw_blk: int, k_terms: int,
                    guards: bool):
     """One (b, q_block, hw_block) tile.
@@ -68,6 +68,8 @@ def _interp_kernel(idx_ref, wgt_ref, v_ref, o_ref, s_scratch, *,
     lo = hwi * hw_blk
     idx = idx_ref[0] - lo  # (Q_BLK, n_heads*K), block-relative
     in_blk = (idx >= 0) & (idx < hw_blk)
+
+    s_scratch = scratch[0] if guards else None
 
     @pl.when(jnp.any(in_blk))
     def _tile():
@@ -142,7 +144,10 @@ def interp_matmul_level(idx: jax.Array, wgt: jax.Array, value: jax.Array,
                                lambda bi, qi, hi: (bi, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((b, q, value.shape[2]),
                                        jnp.float32),
-        scratch_shapes=[pltpu.VMEM((q_blk, hw_blk), jnp.float32)],
+        # the S tile lives in VMEM scratch only in guard mode; the dense
+        # sweep builds it in registers and skips the allocation
+        scratch_shapes=([pltpu.VMEM((q_blk, hw_blk), jnp.float32)]
+                        if guards else []),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
         interpret=interpret,
